@@ -1,0 +1,62 @@
+"""Pure-Python reference BM25 scorer — the rank-identity oracle.
+
+This is the "reference scorer" of the north rule: a naive dict-based inverted
+index + textbook BM25 (k1=1.2, b=0.75, idf = ln(1 + (N-df+0.5)/(df+0.5))),
+Lucene-parameterized per SURVEY.md §7.4. Engine top-k (docIDs and scores)
+must match this rank-identically (score tol 1e-6) on the fixture query set.
+
+Deterministic: docIDs assigned by ascending url; per-doc score accumulated
+over query terms in sorted-term order; ties broken by ascending doc_id.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import pandas as pd
+
+from .. import B, K1
+from ..textprep import tokenize_str
+
+
+class OracleIndex:
+    def __init__(self, pages: pd.DataFrame, base_doc_id: int = 0):
+        """pages: DataFrame with url + text columns (synth.gen_pages shape)."""
+        ordered = pages.sort_values("url", kind="stable").reset_index(drop=True)
+        self.urls = list(ordered["url"])
+        self.doc_ids = list(range(base_doc_id, base_doc_id + len(ordered)))
+        self.postings: dict[str, dict[int, int]] = {}
+        self.doclen: dict[int, int] = {}
+        for doc_id, text in zip(self.doc_ids, ordered["text"]):
+            toks = tokenize_str(text)
+            self.doclen[doc_id] = len(toks)
+            for term, tf in Counter(toks).items():
+                self.postings.setdefault(term, {})[doc_id] = tf
+        self.n_docs = len(ordered)
+        self.avgdl = (
+            sum(self.doclen.values()) / self.n_docs if self.n_docs else 1.0
+        )
+
+    def idf(self, term: str) -> float:
+        df = len(self.postings.get(term, {}))
+        return math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
+
+    def score_all(self, query: str) -> dict[int, float]:
+        """Full disjunctive BM25 scores for every matching doc."""
+        terms = sorted(set(tokenize_str(query)))
+        scores: dict[int, float] = {}
+        for term in terms:
+            plist = self.postings.get(term)
+            if not plist:
+                continue
+            w_idf = self.idf(term)
+            for doc_id, tf in plist.items():
+                dl = self.doclen[doc_id]
+                norm = tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / self.avgdl))
+                scores[doc_id] = scores.get(doc_id, 0.0) + w_idf * norm
+        return scores
+
+    def topk(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        scores = self.score_all(query)
+        return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]

@@ -1,0 +1,158 @@
+"""M0 — text preparation: HTML→text extraction and tokenization.
+
+Reference semantics re-expressed (not ported):
+- HTML footnote/header stripping: the reference removes ``div.footprint``
+  nodes and ``<footnote>…</footnote>`` spans from ``fullcontent``
+  (``solrIndexCreation.ts:776-798,2776-2806``) and strips ``<header>`` blocks
+  via ``RemovedHeaderTag`` (``common.ts:283-301``). Our ``extract_text``
+  generalizes this to full HTML→text with those same exclusions.
+- Tokenization is the from-scratch half (the reference delegates it to the
+  Solr analyzers behind ``BulkIndexing``, ``solrIndexCreation.ts:877-880``):
+  lowercase fold + Unicode word-character runs. Deterministic and versioned —
+  the per-url byte-identity invariant (BASELINE.json input_hint) depends on it.
+
+Both functions exist in two forms with identical semantics:
+pure-Python (``*_str``, used by the test oracle) and Arrow-vectorized pandas
+UDFs (the engine path; batches cross JVM↔Python as Arrow, no per-row Python
+round trips through py4j).
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EXTRACTOR_VERSION = "extract-v1-htmlparser"
+TOKENIZER_VERSION = "tok-v1-lower-unicode-word"
+
+# Unicode word-character runs, underscore excluded (letters, digits, marks).
+TOKEN_RE = re.compile(r"[^\W_]+", re.UNICODE)
+
+# Tags whose entire content is excluded from extracted text.
+_SKIP_TAGS = frozenset({"header", "footnote", "script", "style", "head", "title"})
+# Void elements never pushed on the open-tag stack.
+_VOID_TAGS = frozenset(
+    {"br", "hr", "img", "meta", "link", "input", "area", "base", "col",
+     "embed", "source", "track", "wbr"}
+)
+# class attribute values whose element subtree is excluded (reference strips
+# div.footprint: solrIndexCreation.ts:2781-2798).
+_SKIP_CLASSES = frozenset({"footprint"})
+
+# Block-level elements: entering/leaving one is a word boundary (inline tags
+# like <b>/<i>/<span> are not, so they can't split words).
+_BLOCK_TAGS = frozenset(
+    {"p", "div", "br", "li", "ul", "ol", "tr", "td", "th", "table", "section",
+     "article", "header", "footer", "nav", "aside", "footnote", "blockquote",
+     "pre", "h1", "h2", "h3", "h4", "h5", "h6", "body", "html", "hr", "form",
+     "figure", "figcaption", "main", "dl", "dt", "dd"}
+)
+
+
+class _TextExtractor(HTMLParser):
+    """Stream HTML, collecting text outside skip-listed subtrees.
+
+    convert_charrefs=True (default) decodes entities (&amp; &#39; …) into
+    characters inside the data stream — the reference's documents carry
+    such entities (e.g. ``replace("&#39;","'")`` at solrIndexCreation.ts:2635).
+    """
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.pieces: list[str] = []
+        # stack of (tag, is_skipped); skip depth counter for O(1) checks
+        self._stack: list[tuple[str, bool]] = []
+        self._skip_depth = 0
+
+    def _tag_skipped(self, tag: str, attrs) -> bool:
+        if tag in _SKIP_TAGS:
+            return True
+        for name, value in attrs:
+            if name == "class" and value:
+                if _SKIP_CLASSES & set(value.split()):
+                    return True
+        return False
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _BLOCK_TAGS:
+            self.pieces.append(" ")
+        if tag in _VOID_TAGS:
+            return
+        skipped = self._skip_depth > 0 or self._tag_skipped(tag, attrs)
+        self._stack.append((tag, skipped))
+        if skipped:
+            self._skip_depth += 1
+
+    def handle_endtag(self, tag):
+        if tag in _BLOCK_TAGS:
+            self.pieces.append(" ")
+        # pop to the matching open tag (tolerates mis-nesting like real HTML)
+        for i in range(len(self._stack) - 1, -1, -1):
+            if self._stack[i][0] == tag:
+                for _, skipped in self._stack[i:]:
+                    if skipped:
+                        self._skip_depth -= 1
+                del self._stack[i:]
+                break
+
+    def handle_data(self, data):
+        if self._skip_depth == 0 and data:
+            self.pieces.append(data)
+
+
+def extract_text_str(html: bytes | str | None) -> str:
+    """HTML → text. Whitespace-normalized (runs collapse to single space,
+    stripped). Deterministic; the unit oracle for the byte-identity gate."""
+    if html is None:
+        return ""
+    if isinstance(html, (bytes, bytearray)):
+        html = bytes(html).decode("utf-8", errors="replace")
+    parser = _TextExtractor()
+    parser.feed(html)
+    parser.close()
+    return " ".join("".join(parser.pieces).split())
+
+
+def tokenize_str(text: str | None) -> list[str]:
+    """Lowercase + Unicode word-run tokenizer (TOKENIZER_VERSION)."""
+    if not text:
+        return []
+    return TOKEN_RE.findall(text.lower())
+
+
+@F.pandas_udf(T.StringType())
+def extract_text(html: pd.Series) -> pd.Series:
+    return html.map(extract_text_str)
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def tokenize(text: pd.Series) -> pd.Series:
+    return text.fillna("").str.lower().str.findall(TOKEN_RE)
+
+
+# Stopword list for the second analyzer variant (the reference maintains a
+# parallel stopword index: IndexNameStopword, solrIndexCreation.ts:877-880).
+# Public Lucene/Solr default English stop set.
+STOPWORDS = frozenset(
+    "a an and are as at be but by for if in into is it no not of on or such "
+    "that the their then there these they this to was will with".split()
+)
+
+
+def tokenize_stop_str(text: str | None) -> list[str]:
+    return [t for t in tokenize_str(text) if t not in STOPWORDS]
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def tokenize_stop(text: pd.Series) -> pd.Series:
+    sw = STOPWORDS
+    return (
+        text.fillna("")
+        .str.lower()
+        .str.findall(TOKEN_RE)
+        .map(lambda toks: [t for t in toks if t not in sw])
+    )

@@ -1,0 +1,90 @@
+"""Index build: stable doc_ids, postings/dictionary/stats/lineage integrity."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from solr_indexing_spark.codec import delta_decode, vbyte_decode
+from solr_indexing_spark.indexing.build import build_index, read_manifest
+from solr_indexing_spark.query.oracle import OracleIndex
+
+
+@pytest.fixture(scope="session")
+def index_dir(spark, pages_df, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("index") / "seg0")
+    build_index(spark, pages_df, out, num_buckets=8, verify_extraction=True)
+    return out
+
+
+def test_manifest(index_dir):
+    m = read_manifest(index_dir)
+    assert m["n_docs"] == 500
+    assert m["num_buckets"] == 8
+    assert m["avgdl"] > 0
+
+
+def test_doc_ids_match_oracle(spark, index_dir, pages_pdf):
+    """doc_id == rank in ascending url order (oracle's assignment)."""
+    docs = spark.read.parquet(f"{index_dir}/docs").select("doc_id", "url").collect()
+    got = {r["url"]: r["doc_id"] for r in docs}
+    oracle = OracleIndex(pages_pdf)
+    want = dict(zip(oracle.urls, oracle.doc_ids))
+    assert got == want
+
+
+def test_postings_decode_match_oracle(spark, index_dir, pages_pdf):
+    """Decode every block; (doc_id, tf) lists must equal the dict oracle."""
+    oracle = OracleIndex(pages_pdf)
+    blocks = spark.read.parquet(f"{index_dir}/postings").collect()
+    got: dict[str, dict[int, int]] = {}
+    for r in sorted(blocks, key=lambda r: (r["term"], r["block_id"])):
+        ids = delta_decode(r["first_doc_id"], bytes(r["doc_gaps"]), r["n_docs"])
+        tfs = vbyte_decode(bytes(r["tfs"]))
+        assert r["last_doc_id"] == int(ids[-1])
+        assert len(tfs) == r["n_docs"]
+        plist = got.setdefault(r["term"], {})
+        for d, tf in zip(ids, tfs):
+            assert int(d) not in plist, "doc repeated across blocks"
+            plist[int(d)] = int(tf)
+    assert got == oracle.postings
+
+
+def test_dictionary_and_stats(spark, index_dir, pages_pdf):
+    oracle = OracleIndex(pages_pdf)
+    d = {
+        r["term"]: (r["df"], r["cf"])
+        for r in spark.read.parquet(f"{index_dir}/dictionary").collect()
+    }
+    assert len(d) == len(oracle.postings)
+    for term, plist in oracle.postings.items():
+        assert d[term] == (len(plist), sum(plist.values()))
+    stats = spark.read.parquet(f"{index_dir}/stats").collect()[0]
+    assert stats["n_docs"] == oracle.n_docs
+    assert abs(stats["avgdl"] - oracle.avgdl) < 1e-9
+
+
+def test_lineage_rows(spark, index_dir):
+    lin = spark.read.parquet(f"{index_dir}/lineage")
+    stages = {r["stage"] for r in lin.select("stage").distinct().collect()}
+    assert stages == {"docs", "postings"}
+    docs_rows = lin.filter(F.col("stage") == "docs")
+    assert docs_rows.agg(F.sum("n_docs")).collect()[0][0] == 500
+    assert lin.filter(F.col("bytes") <= 0).count() == 0
+    assert lin.filter(F.col("wall_ms") < 0).count() == 0
+
+
+def test_doc_ids_stable_across_partitioning(spark, pages_df, tmp_path_factory):
+    """Same ids regardless of parallelism/partition count (determinism)."""
+    from solr_indexing_spark.indexing.build import build_docs
+
+    a = {
+        r["url"]: r["doc_id"]
+        for r in build_docs(pages_df, num_partitions=2).select("url", "doc_id").collect()
+    }
+    b = {
+        r["url"]: r["doc_id"]
+        for r in build_docs(pages_df, num_partitions=7).select("url", "doc_id").collect()
+    }
+    assert a == b
