@@ -1,0 +1,59 @@
+#!/usr/bin/env python
+"""spark-submit entry: BM25 top-k over a built index.
+
+    spark-submit --py-files engine.zip query.py --index /path/to/index \
+        --query "income tax deduction" [--k 10] [--mode bmw|brute]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index", required=True)
+    ap.add_argument("--query", required=True)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--mode", choices=["bmw", "brute"], default="bmw")
+    ap.add_argument("--cores", default=None)
+    args = ap.parse_args()
+
+    from solr_indexing_spark.session import get_spark
+
+    if args.cores:
+        spark = get_spark("query", cores=args.cores)
+    else:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.appName("query").getOrCreate()
+
+    if args.mode == "bmw":
+        from solr_indexing_spark.query.bmw import topk
+
+        result = topk(spark, args.index, args.query, k=args.k)
+    else:
+        from solr_indexing_spark.indexing.build import read_manifest
+        from solr_indexing_spark.query.brute import bm25_topk
+
+        man = read_manifest(args.index)
+        docs = spark.read.parquet(f"{args.index}/docs")
+        result = bm25_topk(
+            docs, args.query, k=args.k, n_docs=man["n_docs"], avgdl=man["avgdl"]
+        )
+
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{args.index}/docs").select("doc_id", "url")
+    rows = (
+        result.join(docs, "doc_id")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .collect()
+    )
+    for r in rows:
+        print(json.dumps({"doc_id": r["doc_id"], "score": r["score"], "url": r["url"]}))
+
+
+if __name__ == "__main__":
+    main()

@@ -54,6 +54,9 @@ POSTINGS_SCHEMA = T.StructType(
         T.StructField("n_docs", T.IntegerType(), False),
         T.StructField("doc_gaps", T.BinaryType(), False),
         T.StructField("tfs", T.BinaryType(), False),
+        # per-posting doclens (VByte) — Lucene-norms-style: scoring stays
+        # local at query time, no join against the docs table
+        T.StructField("doclens", T.BinaryType(), False),
         T.StructField("block_max_tf_norm", T.DoubleType(), False),
         T.StructField("sum_tf", T.LongType(), False),
         T.StructField("build_us", T.LongType(), False),
@@ -88,6 +91,7 @@ def _make_block_builder(avgdl: float, num_buckets: int, block_size: int):
             ids = doc_ids[lo:hi]
             gaps = vbyte_encode(np.diff(ids).astype(np.uint64))
             tf_bytes = vbyte_encode(tfs[lo:hi].astype(np.uint64))
+            dl_bytes = vbyte_encode(doclens[lo:hi].astype(np.uint64))
             rows.append(
                 (
                     term,
@@ -98,6 +102,7 @@ def _make_block_builder(avgdl: float, num_buckets: int, block_size: int):
                     int(hi - lo),
                     gaps,
                     tf_bytes,
+                    dl_bytes,
                     float(norms[lo:hi].max()),
                     int(tfs[lo:hi].sum()),
                     (time.monotonic_ns() - t0) // 1000,
@@ -262,7 +267,9 @@ def build_index(
         F.max("last_doc_id").alias("doc_hi"),
         F.sum("n_docs").alias("n_docs"),
         F.sum("sum_tf").alias("token_count"),
-        F.sum(F.length("doc_gaps") + F.length("tfs")).alias("bytes"),
+        F.sum(
+            F.length("doc_gaps") + F.length("tfs") + F.length("doclens")
+        ).alias("bytes"),
         (F.sum("build_us") / 1000.0).alias("wall_ms"),
     ).withColumn("stage", F.lit("postings"))
 

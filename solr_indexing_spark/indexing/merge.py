@@ -1,0 +1,238 @@
+"""M5 — hierarchical, resumable segment merge.
+
+The reference's incremental path is ``CaseLawsPartialIndex``
+(solrIndexCreation.ts:2957-3192) — re-index only what changed; Solr owns
+segment merging. Here merging is ours: independently built segments (disjoint
+contiguous docID ranges via ``base_doc_id``) are merged pairwise/leveled into
+one, resumable from the last committed level (north_rule: "resumable from
+checkpoint").
+
+Correctness subtlety: ``block_max_tf_norm`` depends on the corpus ``avgdl``,
+which changes when corpora merge. Blocks carry (tf, doclen) per posting, so
+the merge re-derives block maxes under the merged avgdl — merged segments
+score identically to a from-scratch build over the union.
+
+Skew: re-blocking groups by (term, doc-range shard), not term alone — a head
+term's multi-billion-posting list never lands on one reducer. Within a term,
+blocks are doc-range disjoint (disjoint segment ranges), so per-shard
+re-blocked output concatenates into a globally sorted posting list.
+
+Commit protocol (no Iceberg jars in this sandbox — SURVEY.md §7.6): each merge
+output is a normal segment directory whose ``_manifest.json`` is written last
+via atomic rename; ``_state.json`` under the merge root records completed
+outputs per level. Re-running skips any output with a committed manifest —
+idempotent resume at merge-output granularity.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from .. import BLOCK_SIZE
+from ..codec import delta_decode, vbyte_decode, vbyte_encode
+from .build import POSTINGS_SCHEMA, read_manifest, tf_norm, _term_bucket_py
+
+
+def _make_reblocker(avgdl: float, num_buckets: int, block_size: int):
+    def reblock(pdf: pd.DataFrame) -> pd.DataFrame:
+        t0 = time.monotonic_ns()
+        term = pdf["term"].iloc[0]
+        shard = int(pdf["merge_shard"].iloc[0])
+        ids_l, tfs_l, dls_l = [], [], []
+        for r in pdf.itertuples():
+            ids_l.append(delta_decode(r.first_doc_id, bytes(r.doc_gaps), r.n_docs))
+            tfs_l.append(vbyte_decode(bytes(r.tfs)))
+            dls_l.append(vbyte_decode(bytes(r.doclens)))
+        ids = np.concatenate(ids_l)
+        tfs = np.concatenate(tfs_l).astype(np.int64)
+        dls = np.concatenate(dls_l).astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids, tfs, dls = ids[order].astype(np.int64), tfs[order], dls[order]
+        norms = tf_norm(tfs, dls.astype(np.float64), avgdl)
+        bucket = _term_bucket_py(term, num_buckets)
+        rows = []
+        base_block = shard << 20
+        for b, lo in enumerate(range(0, len(ids), block_size)):
+            hi = min(lo + block_size, len(ids))
+            blk = ids[lo:hi]
+            rows.append(
+                (
+                    term,
+                    bucket,
+                    base_block + b,
+                    int(blk[0]),
+                    int(blk[-1]),
+                    int(hi - lo),
+                    vbyte_encode(np.diff(blk).astype(np.uint64)),
+                    vbyte_encode(tfs[lo:hi].astype(np.uint64)),
+                    vbyte_encode(dls[lo:hi].astype(np.uint64)),
+                    float(norms[lo:hi].max()),
+                    int(tfs[lo:hi].sum()),
+                    (time.monotonic_ns() - t0) // 1000,
+                )
+            )
+        return pd.DataFrame(rows, columns=[f.name for f in POSTINGS_SCHEMA.fields])
+
+    return reblock
+
+
+def merge_segments(
+    spark: SparkSession,
+    seg_dirs: list[str],
+    out_dir: str,
+    num_buckets: int | None = None,
+    block_size: int | None = None,
+    merge_shard_range: int = 1 << 20,
+) -> dict:
+    """Merge segments (disjoint doc ranges) into one segment at out_dir."""
+    t0 = time.monotonic()
+    manifests = [read_manifest(d) for d in seg_dirs]
+    num_buckets = num_buckets or manifests[0]["num_buckets"]
+    block_size = block_size or manifests[0].get("block_size", BLOCK_SIZE)
+
+    stats = [spark.read.parquet(f"{d}/stats").collect()[0] for d in seg_dirs]
+    n_docs = sum(s["n_docs"] for s in stats)
+    total_tokens = sum(s["total_tokens"] for s in stats)
+    avgdl = total_tokens / n_docs if n_docs else 1.0
+
+    os.makedirs(out_dir, exist_ok=True)
+    # docs: plain union (disjoint ids)
+    docs = spark.read.parquet(*[f"{d}/docs" for d in seg_dirs])
+    docs.write.mode("overwrite").parquet(f"{out_dir}/docs")
+
+    # each segment's postings root is independently bucket-partitioned —
+    # read separately and union (a single multi-root read conflicts on
+    # partition discovery)
+    def _union(frames):
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
+
+    blocks_in = _union([spark.read.parquet(f"{d}/postings") for d in seg_dirs])
+    blocks_in = blocks_in.withColumn(
+        "merge_shard", (F.col("first_doc_id") / merge_shard_range).cast("long")
+    )
+    reblocker = _make_reblocker(avgdl, num_buckets, block_size)
+    merged = blocks_in.groupBy("term", "merge_shard").applyInPandas(
+        reblocker, POSTINGS_SCHEMA
+    )
+    merged.write.mode("overwrite").partitionBy("bucket").parquet(
+        f"{out_dir}/postings"
+    )
+    blocks_r = spark.read.parquet(f"{out_dir}/postings")
+    blocks_r.groupBy("term", "bucket").agg(
+        F.sum("n_docs").alias("df"),
+        F.sum("sum_tf").alias("cf"),
+        F.count("*").alias("n_blocks"),
+        F.max("block_max_tf_norm").alias("max_tf_norm"),
+    ).write.mode("overwrite").parquet(f"{out_dir}/dictionary")
+
+    spark.createDataFrame(
+        [(int(n_docs), float(avgdl), int(total_tokens))],
+        "n_docs long, avgdl double, total_tokens long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/stats")
+
+    # lineage: carry forward inputs' lineage + one merge-stage row per bucket
+    lin_in = spark.read.parquet(*[f"{d}/lineage" for d in seg_dirs])
+    merge_lin = blocks_r.groupBy(F.col("bucket").alias("partition_id")).agg(
+        F.min("first_doc_id").alias("doc_lo"),
+        F.max("last_doc_id").alias("doc_hi"),
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("sum_tf").alias("token_count"),
+        F.sum(
+            F.length("doc_gaps") + F.length("tfs") + F.length("doclens")
+        ).alias("bytes"),
+        (F.sum("build_us") / 1000.0).alias("wall_ms"),
+    ).withColumn("stage", F.lit("merge"))
+    cols = ["stage", "partition_id", "doc_lo", "doc_hi", "n_docs",
+            "token_count", "bytes", "wall_ms"]
+    lin_in.select(*cols).unionByName(merge_lin.select(*cols)).write.mode(
+        "overwrite"
+    ).parquet(f"{out_dir}/lineage")
+
+    manifest = {
+        "format_version": 1,
+        "analyzer": manifests[0].get("analyzer", "default"),
+        "tokenizer": manifests[0]["tokenizer"],
+        "extractor": manifests[0]["extractor"],
+        "num_buckets": num_buckets,
+        "block_size": block_size,
+        "n_docs": int(n_docs),
+        "doc_id_base": min(m["doc_id_base"] for m in manifests),
+        "doc_id_hi": max(m["doc_id_hi"] for m in manifests),
+        "avgdl": float(avgdl),
+        "merged_from": [os.path.basename(d) for d in seg_dirs],
+        "build_wall_s": round(time.monotonic() - t0, 3),
+    }
+    tmp = f"{out_dir}/_manifest.json.tmp"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, indent=1)
+    os.replace(tmp, f"{out_dir}/_manifest.json")
+    return manifest
+
+
+def _is_committed(seg_dir: str) -> bool:
+    return os.path.exists(f"{seg_dir}/_manifest.json")
+
+
+def hierarchical_merge(
+    spark: SparkSession,
+    seg_dirs: list[str],
+    out_root: str,
+    fanout: int = 2,
+    fail_after: int | None = None,
+    **merge_kwargs,
+) -> str:
+    """Leveled merge of many segments into one; resumable.
+
+    ``fail_after`` (tests only): raise after N completed merge outputs to
+    simulate a crash; a re-run must resume and produce identical results.
+    Returns the final segment directory.
+    """
+    os.makedirs(out_root, exist_ok=True)
+    state_path = f"{out_root}/_state.json"
+    state = {"completed": []}
+    if os.path.exists(state_path):
+        with open(state_path) as fh:
+            state = json.load(fh)
+    completed = set(state["completed"])
+    done = 0
+
+    current = list(seg_dirs)
+    level = 0
+    while len(current) > 1:
+        nxt = []
+        for gi in range(0, len(current), fanout):
+            group = current[gi : gi + fanout]
+            if len(group) == 1:
+                nxt.append(group[0])
+                continue
+            out = f"{out_root}/L{level}_{gi // fanout}"
+            if out in completed and _is_committed(out):
+                nxt.append(out)
+                continue
+            if os.path.exists(out) and not _is_committed(out):
+                shutil.rmtree(out)  # uncommitted partial output: redo
+            merge_segments(spark, group, out, **merge_kwargs)
+            completed.add(out)
+            state["completed"] = sorted(completed)
+            tmp = state_path + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(state, fh)
+            os.replace(tmp, state_path)
+            done += 1
+            if fail_after is not None and done >= fail_after:
+                raise RuntimeError(f"injected failure after {done} merges")
+            nxt.append(out)
+        current = nxt
+        level += 1
+    return current[0]

@@ -1,0 +1,259 @@
+"""Block-Max WAND top-k over compressed segments (M3 — the production scorer).
+
+Public-literature semantics: WAND pivoting (Broder et al., CIKM 2003) with
+per-block score caps (Ding & Suel, SIGIR 2011). The reference outsources this
+entirely to Solr (solrIndexCreation.ts:876-882); parameters per SURVEY.md §7.4.
+
+Distribution model: the index is term-partitioned on disk (bucket dirs →
+partition pruning), but WAND needs all query terms' postings for a doc in one
+place, so query-time blocks are re-sharded by *docID range*: shard s covers
+docs [s·R, (s+1)·R). A block overlapping several shards is replicated to each
+(cheap — blocks are ≤128 postings, R ≫ 128) and scoring inside the pandas UDF
+is clipped to the shard's range, so every doc's full score is computed in
+exactly one shard and per-shard top-k merge is exact. The global merge sees
+≤ k rows per shard.
+
+Determinism / rank-identity: per-doc scores accumulate over terms in sorted
+term order; pruning uses *strict* θ comparisons so exact score ties are never
+skipped; heap ordering and the final sort break ties by ascending doc_id.
+"""
+
+from __future__ import annotations
+
+import heapq
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .. import B, K1
+from ..codec import delta_decode, vbyte_decode
+from ..indexing.build import read_manifest, _term_bucket_py
+from ..textprep import tokenize_str
+
+_INF = (1 << 62)
+
+
+class _TermCursor:
+    """Posting iterator over one term's blocks within a doc-range shard."""
+
+    __slots__ = (
+        "idf", "ub", "blocks", "bi", "pos", "ids", "tfs", "dls", "hi",
+    )
+
+    def __init__(self, idf: float, ub: float, blocks: list, lo: int, hi: int):
+        # blocks: list of (first, last, n, gaps, tfs, doclens, bmax) sorted
+        self.idf = idf
+        self.ub = ub  # global upper bound: idf * max_tf_norm
+        self.blocks = blocks
+        self.bi = 0
+        self.pos = 0
+        self.ids = None
+        self.hi = hi
+        self.next_geq(lo)
+
+    def _decode(self) -> None:
+        first, last, n, gaps, tf_buf, dl_buf, _ = self.blocks[self.bi]
+        self.ids = delta_decode(first, gaps, n)
+        self.tfs = vbyte_decode(tf_buf).astype(np.float64)
+        self.dls = vbyte_decode(dl_buf).astype(np.float64)
+
+    @property
+    def cur(self) -> int:
+        if self.bi >= len(self.blocks):
+            return _INF
+        d = int(self.ids[self.pos])
+        return d if d < self.hi else _INF
+
+    def next_geq(self, target: int) -> None:
+        """Skip-pointer advance: jump blocks by last_doc_id, then binary
+        search inside the one block that must contain the target."""
+        while self.bi < len(self.blocks) and self.blocks[self.bi][1] < target:
+            self.bi += 1
+            self.ids = None
+        if self.bi >= len(self.blocks):
+            return
+        if self.ids is None:
+            self._decode()
+        self.pos = int(np.searchsorted(self.ids, target, side="left"))
+        if self.pos >= len(self.ids):  # defensive; last >= target implies not
+            self.bi += 1
+            self.ids = None
+            if self.bi < len(self.blocks):
+                self._decode()
+                self.pos = 0
+
+    def block_max_for(self, d: int) -> float:
+        """UB of this term's contribution to doc d (0 if d not coverable)."""
+        bi = self.bi
+        while bi < len(self.blocks) and self.blocks[bi][1] < d:
+            bi += 1
+        if bi >= len(self.blocks) or self.blocks[bi][0] > d:
+            return 0.0
+        return self.idf * self.blocks[bi][6]
+
+    def block_last(self) -> int:
+        return self.blocks[self.bi][1] if self.bi < len(self.blocks) else _INF
+
+    def score_cur(self, avgdl: float) -> float:
+        tf = self.tfs[self.pos]
+        dl = self.dls[self.pos]
+        return self.idf * tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl))
+
+
+def bmw_shard_topk(
+    cursors: list[_TermCursor], k: int, avgdl: float
+) -> list[tuple[int, float]]:
+    """Exact top-k within one shard via block-max WAND."""
+    cursors = [c for c in cursors if c.cur < _INF]
+    heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap
+    while cursors:
+        cursors.sort(key=lambda c: c.cur)
+        while cursors and cursors[-1].cur >= _INF:
+            cursors.pop()
+        if not cursors:
+            break
+        theta = heap[0][0] if len(heap) >= k else -math.inf
+        prefix = 0.0
+        pivot = -1
+        for i, c in enumerate(cursors):
+            prefix += c.ub
+            if prefix >= theta:
+                pivot = i
+                break
+        if pivot < 0:
+            break  # total UB below threshold — done
+        pivot_doc = cursors[pivot].cur
+        if pivot_doc >= _INF:
+            break
+        # extend the pivot across cursors tied at pivot_doc — their upper
+        # bounds must count in the block-max check, and a skip must advance
+        # them too, else the doc is later scored with partial contributions
+        while pivot + 1 < len(cursors) and cursors[pivot + 1].cur == pivot_doc:
+            pivot += 1
+        # block-max refinement (strict <: exact ties always evaluated)
+        bub = sum(c.block_max_for(pivot_doc) for c in cursors[: pivot + 1])
+        if bub < theta:
+            boundary = min(c.block_last() for c in cursors[: pivot + 1]) + 1
+            nxt = cursors[pivot + 1].cur if pivot + 1 < len(cursors) else _INF
+            target = max(min(boundary, nxt), pivot_doc + 1)
+            for c in cursors[: pivot + 1]:
+                if c.cur < target:
+                    c.next_geq(target)
+            continue
+        if cursors[0].cur == pivot_doc:
+            # all terms ≤ pivot aligned: full evaluation; fsum makes the
+            # accumulation order-insensitive (exact summation)
+            contributors = [c for c in cursors if c.cur == pivot_doc]
+            score = math.fsum(c.score_cur(avgdl) for c in contributors)
+            item = (score, -pivot_doc)
+            if len(heap) < k:
+                heapq.heappush(heap, item)
+            elif item > heap[0]:
+                heapq.heapreplace(heap, item)
+            for c in contributors:
+                c.next_geq(pivot_doc + 1)
+        else:
+            # advance the highest-UB unaligned cursor to the pivot
+            adv = max(
+                (c for c in cursors[:pivot] if c.cur < pivot_doc),
+                key=lambda c: c.ub,
+                default=cursors[0],
+            )
+            adv.next_geq(pivot_doc)
+    return sorted(((-nd, s) for s, nd in heap), key=lambda t: (-t[1], t[0]))[:k]
+
+
+def topk(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    k: int = 10,
+    shard_range: int = 1 << 17,
+) -> DataFrame:
+    """BM25 top-k (doc_id, score) over a built segment, via block-max WAND.
+
+    Plan: dictionary lookup (bucket-pruned scan, tiny result collected) →
+    postings scan pruned to the query terms' buckets → explode blocks over
+    overlapped doc-range shards → applyInPandas BMW per shard (≤k rows out)
+    → global orderBy(score desc, doc_id asc).limit(k).
+    """
+    man = read_manifest(index_dir)
+    num_buckets = man["num_buckets"]
+    n_docs, avgdl = man["n_docs"], man["avgdl"]
+
+    terms = sorted(set(tokenize_str(query)))
+    empty = spark.createDataFrame([], "doc_id long, score double")
+    if not terms:
+        return empty
+    buckets = sorted({_term_bucket_py(t, num_buckets) for t in terms})
+
+    dict_rows = (
+        spark.read.parquet(f"{index_dir}/dictionary")
+        .filter(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
+        .collect()
+    )
+    if not dict_rows:
+        return empty
+    term_meta = {}
+    for r in dict_rows:
+        idf = math.log(1.0 + (n_docs - r["df"] + 0.5) / (r["df"] + 0.5))
+        term_meta[r["term"]] = (idf, idf * r["max_tf_norm"])
+
+    blocks = (
+        spark.read.parquet(f"{index_dir}/postings")
+        .filter(F.col("bucket").isin(buckets) & F.col("term").isin(list(term_meta)))
+        .select(
+            "term", "block_id", "first_doc_id", "last_doc_id", "n_docs",
+            "doc_gaps", "tfs", "doclens", "block_max_tf_norm",
+        )
+        .withColumn(
+            "shard",
+            F.explode(
+                F.sequence(
+                    (F.col("first_doc_id") / shard_range).cast("long"),
+                    (F.col("last_doc_id") / shard_range).cast("long"),
+                )
+            ),
+        )
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("score", T.DoubleType(), False),
+        ]
+    )
+    meta = dict(term_meta)
+    kk, rr, avg = k, shard_range, avgdl
+
+    def run_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(pdf["shard"].iloc[0])
+        lo, hi = shard * rr, (shard + 1) * rr
+        cursors = []
+        for term, g in pdf.groupby("term", sort=True):
+            g = g.sort_values("block_id", kind="stable")
+            blist = [
+                (
+                    int(r.first_doc_id),
+                    int(r.last_doc_id),
+                    int(r.n_docs),
+                    bytes(r.doc_gaps),
+                    bytes(r.tfs),
+                    bytes(r.doclens),
+                    float(r.block_max_tf_norm),
+                )
+                for r in g.itertuples()
+            ]
+            idf, ub = meta[term]
+            c = _TermCursor(idf, ub, blist, lo, hi)
+            if c.cur < _INF:
+                cursors.append(c)
+        results = bmw_shard_topk(cursors, kk, avg)
+        return pd.DataFrame(results, columns=["doc_id", "score"])
+
+    candidates = blocks.groupBy("shard").applyInPandas(run_shard, out_schema)
+    return candidates.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

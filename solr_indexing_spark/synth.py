@@ -122,12 +122,12 @@ def gen_pages(n: int, seed: int = 42, skew: bool = False) -> pd.DataFrame:
     )
 
 
-def write_pages_parquet(path: str, n: int, seed: int = 42, skew: bool = False) -> str:
-    """Write a pages parquet the engine can `spark.read.parquet`."""
+def write_pandas_pages(pdf: pd.DataFrame, path: str) -> str:
+    """Write a pages-shaped pandas frame as Spark-readable parquet
+    (timestamps down-cast to microseconds — Spark rejects NANOS)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    pdf = gen_pages(n, seed=seed, skew=skew)
     schema = pa.schema(
         [
             ("url", pa.string()),
@@ -140,3 +140,8 @@ def write_pages_parquet(path: str, n: int, seed: int = 42, skew: bool = False) -
     table = pa.Table.from_pandas(pdf, schema=schema, preserve_index=False)
     pq.write_table(table, path)
     return path
+
+
+def write_pages_parquet(path: str, n: int, seed: int = 42, skew: bool = False) -> str:
+    """Write a pages parquet the engine can `spark.read.parquet`."""
+    return write_pandas_pages(gen_pages(n, seed=seed, skew=skew), path)

@@ -1,0 +1,51 @@
+"""M3 gate: block-max WAND over compressed segments == brute == oracle."""
+
+from __future__ import annotations
+
+import pytest
+
+from solr_indexing_spark.indexing.build import build_index
+from solr_indexing_spark.query.bmw import topk
+from solr_indexing_spark.query.oracle import OracleIndex
+
+from tests.test_bm25 import QUERIES, oracle  # noqa: F401
+from tests.test_index_build import index_dir  # noqa: F401
+
+
+@pytest.fixture(scope="session")
+def small_block_index(spark, pages_df, tmp_path_factory):
+    """block_size=16 → many blocks per term → real skip/block-max pruning."""
+    out = str(tmp_path_factory.mktemp("index_sb") / "seg0")
+    build_index(spark, pages_df, out, num_buckets=4, block_size=16)
+    return out
+
+
+@pytest.mark.parametrize("query", QUERIES)
+def test_bmw_matches_oracle(spark, index_dir, oracle, query):  # noqa: F811
+    want = oracle.topk(query, k=10)
+    got = [(r["doc_id"], r["score"]) for r in topk(spark, index_dir, query, k=10).collect()]
+    assert [d for d, _ in got] == [d for d, _ in want], f"rank mismatch: {query!r}"
+    for (_, gs), (_, ws) in zip(got, want):
+        assert abs(gs - ws) < 1e-6
+
+
+@pytest.mark.parametrize("query", QUERIES[:5])
+@pytest.mark.parametrize("shard_range", [64, 100, 1 << 17])
+def test_bmw_shard_invariance(spark, small_block_index, oracle, query, shard_range):  # noqa: F811
+    """Results identical for any doc-range sharding (incl. straddling blocks)."""
+    want = oracle.topk(query, k=10)
+    got = [
+        (r["doc_id"], r["score"])
+        for r in topk(spark, small_block_index, query, k=10, shard_range=shard_range).collect()
+    ]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, gs), (_, ws) in zip(got, want):
+        assert abs(gs - ws) < 1e-6
+
+
+def test_bmw_k_variants(spark, index_dir, oracle):  # noqa: F811
+    q = "corvim fulful rivarrexful"
+    for k in (1, 3, 25, 100):
+        want = oracle.topk(q, k=k)
+        got = [(r["doc_id"], r["score"]) for r in topk(spark, index_dir, q, k=k).collect()]
+        assert [d for d, _ in got] == [d for d, _ in want], f"k={k}"

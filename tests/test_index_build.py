@@ -42,8 +42,11 @@ def test_postings_decode_match_oracle(spark, index_dir, pages_pdf):
     for r in sorted(blocks, key=lambda r: (r["term"], r["block_id"])):
         ids = delta_decode(r["first_doc_id"], bytes(r["doc_gaps"]), r["n_docs"])
         tfs = vbyte_decode(bytes(r["tfs"]))
+        dls = vbyte_decode(bytes(r["doclens"]))
         assert r["last_doc_id"] == int(ids[-1])
-        assert len(tfs) == r["n_docs"]
+        assert len(tfs) == r["n_docs"] == len(dls)
+        for d, dl in zip(ids, dls):
+            assert oracle.doclen[int(d)] == int(dl)
         plist = got.setdefault(r["term"], {})
         for d, tf in zip(ids, tfs):
             assert int(d) not in plist, "doc repeated across blocks"
