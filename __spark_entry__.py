@@ -1,38 +1,1046 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash → CORRECTNESS_r{N}.json).
+
+Conventions used throughout so the value-hash comparison is meaningful:
+- every computed column is aliased identically in Spark and SQL;
+- doubles are rounded to 4 decimals in BOTH engines;
+- timestamps are emitted as formatted strings;
+- hash primitives are md5-based (engine-portable): the 60-bit prefix
+  ``('0x'||substr(md5(x),1,15))::bigint`` == Spark
+  ``conv(substring(md5(x),1,15),16,10)``;
+- tokenization parity: Java regex / RE2 both implement
+  ``[\\p{L}\\p{N}\\p{M}]+`` identically (verified against the Python
+  Arrow-UDF tokenizer in tests/test_analysis.py).
+
+Entries without an oracle (``ix_*``, ``mm_*``) are the genuinely
+non-SQL-expressible paths: compressed-segment BMW scoring internals and
+mapInPandas media plumbing — the driver records a rows-only check for them.
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+TOKEN_PATTERN = r"[\p{L}\p{N}\p{M}]+"
+
+# fixed query set over the `documents` table vocabulary (TESTDATA.md)
+FT_QUERY = "spark query data"
+FT_QUERIES = {
+    1: "spark query data",
+    2: "customer order line",
+    3: "hash join merge",
+    4: "vector scan",
+}
+FT_TERMS = ["data", "query", "spark", "table", "value", "fast", "join", "scan"]
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# index cache: ft_bm25_bmw / ix_* build one segment per sf_dir per process
+# --------------------------------------------------------------------------
+
+_INDEX_CACHE: dict[str, str] = {}
+
+
+def _index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per process) an index over the documents table.
+
+    urls are zero-padded doc:// ids so the engine's url-ordered dense doc_id
+    assignment reproduces the table's own doc_id — rank-identity checks then
+    compare doc_ids directly.
+    """
+    if sf_dir in _INDEX_CACHE:
+        return _INDEX_CACHE[sf_dir]
+    from solr_indexing_spark.indexing.build import build_index
+
+    pages = _docs(spark, sf_dir).select(
+        F.format_string("doc://%010d", F.col("doc_id")).alias("url"),
+        F.col("text"),
+        F.col("lang"),
+    )
+    out = os.path.join(
+        tempfile.mkdtemp(prefix="spark_entry_index_"), "seg"
+    )
+    build_index(spark, pages, out, num_buckets=8)
+    _INDEX_CACHE[sf_dir] = out
+    return out
+
+
+# --------------------------------------------------------------------------
+# entry: flagship — build the inverted index, run the BMW top-k
+# --------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: index /root/testdata/sf0.001 documents, BMW top-10 for the
+    fixed query, join back to urls. Exercises the full build+query path."""
+    from solr_indexing_spark.query.bmw import topk
+
+    sf_dir = "/root/testdata/sf0.001"
+    idx = _index_dir(spark, sf_dir)
+    hits = topk(spark, idx, FT_QUERY, k=10)
+    docs = spark.read.parquet(f"{idx}/docs").select("doc_id", "url")
+    return (
+        hits.join(docs, "doc_id")
+        .select("doc_id", "url", F.round("score", 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+
+
+def _ft_corpus_stats(spark, sf_dir):
+    from solr_indexing_spark.docprep.analysis import token_count
+
+    return _docs(spark, sf_dir).select(
+        token_count("text").alias("doclen")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("doclen"), 4).alias("avgdl"),
+        F.sum("doclen").alias("total_tokens"),
+    )
+
+
+def _ft_doclen(spark, sf_dir):
+    from solr_indexing_spark.docprep.analysis import token_count
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", token_count("text").alias("doclen")
+    )
+
+
+def _ft_term_stats(spark, sf_dir):
+    from solr_indexing_spark.docprep.analysis import sql_tokens
+
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(sql_tokens("text")).alias("term"))
+        .filter(F.col("term").isin(FT_TERMS))
+        .groupBy("term")
+        .agg(
+            F.countDistinct("doc_id").alias("df"),
+            F.count("*").alias("cf"),
+        )
+    )
+
+
+def _ft_top_terms(spark, sf_dir):
+    from solr_indexing_spark.docprep.analysis import sql_tokens
+
+    return (
+        _docs(spark, sf_dir)
+        .select(F.explode(sql_tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("cf"))
+        .orderBy(F.desc("cf"), F.asc("term"))
+        .limit(20)
+    )
+
+
+def _ft_df_histogram(spark, sf_dir):
+    from solr_indexing_spark.docprep.analysis import sql_tokens
+
+    df_per_term = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(sql_tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+    return (
+        df_per_term.withColumn(
+            "df_bucket", F.floor(F.log2(F.col("df"))).cast("long")
+        )
+        .groupBy("df_bucket")
+        .agg(F.count("*").alias("n_terms"))
+    )
+
+
+def _bm25_brute(spark, sf_dir, query_terms: list[str], k: int):
+    from solr_indexing_spark.docprep.analysis import sql_tokens, token_count
+
+    docs = _docs(spark, sf_dir)
+    stats = docs.select(token_count("text").alias("dl")).agg(
+        F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = stats["n"], float(stats["avgdl"])
+    tf = (
+        docs.select(
+            "doc_id",
+            token_count("text").alias("doclen"),
+            F.explode(sql_tokens("text")).alias("term"),
+        )
+        .filter(F.col("term").isin(query_terms))
+        .groupBy("term", "doc_id", "doclen")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfs = tf.groupBy("term").agg(F.count("*").alias("df"))
+    return (
+        tf.join(F.broadcast(dfs), "term")
+        .withColumn(
+            "w",
+            F.log(
+                F.lit(1.0)
+                + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            )
+            * F.col("tf")
+            * 2.2
+            / (
+                F.col("tf")
+                + 1.2 * (1.0 - 0.75 + 0.75 * F.col("doclen") / F.lit(avgdl))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("w").alias("rawscore"))
+        .orderBy(F.desc("rawscore"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", F.round("rawscore", 4).alias("score"))
+    )
+
+
+def _ft_bm25_topk(spark, sf_dir):
+    return _bm25_brute(spark, sf_dir, FT_QUERY.split(), 10)
+
+
+def _ft_bm25_multi(spark, sf_dir):
+    out = None
+    for qid, q in FT_QUERIES.items():
+        part = _bm25_brute(spark, sf_dir, q.split(), 5).withColumn(
+            "query_id", F.lit(qid)
+        )
+        out = part if out is None else out.unionByName(part)
+    return out.select("query_id", "doc_id", "score")
+
+
+def _ft_bm25_bmw(spark, sf_dir):
+    """The compressed-segment block-max WAND path, checked against the same
+    SQL BM25 oracle as the brute path — the rank-identity gate."""
+    from solr_indexing_spark.query.bmw import topk
+
+    idx = _index_dir(spark, sf_dir)
+    return topk(spark, idx, FT_QUERY, k=10).select(
+        "doc_id", F.round("score", 4).alias("score")
+    )
+
+
+# --- text analysis --------------------------------------------------------
+
+
+def _ta_token_counts(spark, sf_dir):
+    from solr_indexing_spark.docprep.analysis import (
+        bpe_ish_token_count,
+        token_count,
+        whitespace_token_count,
+    )
+
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        whitespace_token_count("text").alias("n_ws_tokens"),
+        bpe_ish_token_count("text").alias("n_bpe_tokens"),
+    )
+
+
+def _ta_quality(spark, sf_dir):
+    from solr_indexing_spark.docprep.analysis import quality_metrics
+
+    return _docs(spark, sf_dir).select("doc_id", *quality_metrics("text"))
+
+
+def _ta_langid(spark, sf_dir):
+    from solr_indexing_spark.docprep.analysis import lang_id
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", lang_id("text").alias("lang_pred")
+    )
+
+
+def _ta_fingerprint(spark, sf_dir):
+    from solr_indexing_spark.docprep.analysis import doc_fingerprint
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", doc_fingerprint("text").alias("fingerprint")
+    )
+
+
+# --- dedup ----------------------------------------------------------------
+
+
+def _dd_exact_groups(spark, sf_dir):
+    """Exact-dup audit over the first 100 normalized chars (the documents
+    table has no full-text dups; shared prefixes stand in as the planted
+    duplicate structure)."""
+    from solr_indexing_spark.docprep.analysis import md5_prefix_long
+
+    prefix_fp = md5_prefix_long(F.substring(F.col("text"), 1, 100))
+    return (
+        _docs(spark, sf_dir)
+        .select(prefix_fp.alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("dup_count"), F.min("doc_id").alias("keep_id"))
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def _dd_minhash_sigs(spark, sf_dir):
+    from solr_indexing_spark.docprep.dedup import minhash_signatures
+
+    return minhash_signatures(_docs(spark, sf_dir)).withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+def _dd_lsh_pairs(spark, sf_dir):
+    from solr_indexing_spark.docprep.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    return lsh_candidate_pairs(minhash_signatures(_docs(spark, sf_dir)))
+
+
+def _dd_jaccard(spark, sf_dir):
+    from solr_indexing_spark.docprep.dedup import jaccard_pairs
+
+    return jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+def _dd_simhash(spark, sf_dir):
+    from solr_indexing_spark.docprep.dedup import simhash
+
+    return simhash(_docs(spark, sf_dir)).withColumnRenamed("id", "doc_id")
+
+
+def _dd_embedding_pairs(spark, sf_dir):
+    """Cosine near-pairs blocked by label (the SQL-friendly blocking key;
+    the LSH-bucketed variant is exercised in tests)."""
+    from solr_indexing_spark.docprep.dedup import cosine
+
+    emb = _emb(spark, sf_dir).select("vec_id", "label", "embedding")
+    a, b = emb.alias("a"), emb.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.col("a.label").alias("label"),
+            F.round(
+                cosine(
+                    F.col("a.embedding").cast("array<double>"),
+                    F.col("b.embedding").cast("array<double>"),
+                ),
+                4,
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= 0.3)
+    )
+
+
+# --- similarity search ----------------------------------------------------
+
+
+def _sim_cosine_topk(spark, sf_dir):
+    from solr_indexing_spark.similarity import cosine_topk_by_id
+
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return cosine_topk_by_id(emb, 0, k=10).withColumnRenamed("id", "vec_id")
+
+
+def _sim_threshold_count(spark, sf_dir):
+    from solr_indexing_spark.docprep.dedup import cosine
+
+    emb = (
+        _emb(spark, sf_dir)
+        .filter(F.col("vec_id") < 100)
+        .select("vec_id", "label", F.col("embedding").cast("array<double>").alias("v"))
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            (F.col("a.label") == F.col("b.label")).alias("same_label"),
+            cosine(F.col("a.v"), F.col("b.v")).alias("c"),
+        )
+        .filter(F.col("c") >= 0.2)
+        .groupBy("same_label")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+# --- docprep re-expression over TPC-H-ish tables --------------------------
+
+
+def _dp_slugify(spark, sf_dir):
+    from solr_indexing_spark.docprep.scalars import slugify
+
+    return _tbl(spark, sf_dir, "part").select(
+        "p_partkey", slugify(F.col("p_name")).alias("slug")
+    )
+
+
+def _dp_category_filter(spark, sf_dir):
+    return (
+        _tbl(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority").isin(["1-URGENT", "2-HIGH"]))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+def _dp_broadcast_enrich(spark, sf_dir):
+    nation = (
+        _tbl(spark, sf_dir, "nation")
+        .filter(F.col("n_nationkey") < 10)
+        .select("n_nationkey", "n_name")
+    )
+    cust = _tbl(spark, sf_dir, "customer")
+    return (
+        cust.join(
+            F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"], "left"
+        )
+        .select(F.coalesce(F.col("n_name"), F.lit("OTHER")).alias("resolved_nation"))
+        .groupBy("resolved_nation")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+def _dp_sort_key(spark, sf_dir):
+    key = F.concat(
+        F.lpad(F.year("o_orderdate").cast("string"), 4, "0"),
+        F.lpad(F.col("o_custkey").cast("string"), 9, "0"),
+        F.lpad(F.col("o_orderkey").cast("string"), 10, "0"),
+    )
+    return (
+        _tbl(spark, sf_dir, "orders")
+        .select("o_orderkey", key.alias("sort_key"))
+        .orderBy("sort_key")
+        .limit(20)
+    )
+
+
+def _dp_window_rownum(spark, sf_dir):
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        _tbl(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 100)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("price"), "rk"
+        )
+    )
+
+
+def _dp_static_boost(spark, sf_dir):
+    boost = (
+        F.when(F.col("o_orderpriority") == "1-URGENT", 10000)
+        .when(F.col("o_orderpriority") == "2-HIGH", 8000)
+        .when(F.col("o_orderpriority") == "3-MEDIUM", 5000)
+        .otherwise(1500)
+    )
+    return (
+        _tbl(spark, sf_dir, "orders")
+        .select(boost.alias("boost"))
+        .groupBy("boost")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def _dp_explode_fanout(spark, sf_dir):
+    return (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") < 20)
+        .select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _dp_headnote_unpivot(spark, sf_dir):
+    return (
+        _tbl(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 50)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.expr(
+                "stack(4, 1, l_quantity, 2, l_extendedprice, 3, l_discount, "
+                "4, l_tax) as (field_num, value)"
+            ),
+        )
+        .select(
+            "l_orderkey", "l_linenumber", "field_num",
+            F.round("value", 2).alias("value"),
+        )
+    )
+
+
+def _dp_date_convert(spark, sf_dir):
+    ymd = F.date_format("o_orderdate", "yyyyMMdd")
+    return (
+        _tbl(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 500)
+        .select(
+            "o_orderkey",
+            ymd.alias("ymd"),
+            F.date_format(
+                F.to_date(ymd, "yyyyMMdd"), "yyyy-MM-dd"
+            ).alias("roundtrip"),
+        )
+    )
+
+
+def _dp_citation_variants(spark, sf_dir):
+    name = F.col("p_name")
+    return _tbl(spark, sf_dir, "part").select(
+        "p_partkey",
+        name.alias("v_original"),
+        F.regexp_replace(name, r"\s+", "").alias("v_nospace"),
+        F.regexp_replace(name, r"[aeiou]", "").alias("v_novowel"),
+        F.upper(F.regexp_replace(name, r"\s+", "-")).alias("v_slug_upper"),
+    )
+
+
+def _dp_first_wins(spark, sf_dir):
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    return (
+        _tbl(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 200)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("l_orderkey", "l_linenumber", "l_partkey")
+    )
+
+
+def _dp_concat_agg(spark, sf_dir):
+    return (
+        _tbl(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 100)
+        .groupBy("l_orderkey")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_list(F.col("l_linenumber").cast("string"))),
+                "~~",
+            ).alias("linenumbers")
+        )
+    )
+
+
+def _dp_agg_pricing(spark, sf_dir):
+    """TPC-H Q1 shape: the partial+final hash-agg workhorse."""
+    return (
+        _tbl(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# --- rows-only entries (non-SQL-expressible) ------------------------------
+
+
+def _ix_lineage(spark, sf_dir):
+    """Per-partition build lineage (north_rule metrics table) from the
+    segment built over the documents table."""
+    idx = _index_dir(spark, sf_dir)
+    return spark.read.parquet(f"{idx}/lineage").select(
+        "stage", "partition_id", "doc_lo", "doc_hi", "n_docs", "token_count",
+        "bytes",
+    )
+
+
+def _ix_dictionary(spark, sf_dir):
+    idx = _index_dir(spark, sf_dir)
+    return spark.read.parquet(f"{idx}/dictionary").select(
+        "term", "bucket", "df", "cf", "n_blocks"
+    )
+
+
+def _mm_features(spark, sf_dir):
+    from solr_indexing_spark.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+        gen_media,
+    )
+
+    media = spark.createDataFrame(gen_media(120), MEDIA_SCHEMA)
+    feats = extract_features(media)
+    return feats.select(
+        "media_id", "kind", "n_bytes",
+        F.round(F.element_at("feature", 1).cast("double"), 4).alias("f0"),
+    )
+
+
+def _mm_frames(spark, sf_dir):
+    from solr_indexing_spark.multimodal import (
+        MEDIA_SCHEMA,
+        gen_media,
+        sample_frames,
+    )
+
+    media = spark.createDataFrame(gen_media(120), MEDIA_SCHEMA)
+    return sample_frames(media).groupBy("media_id").agg(
+        F.count("*").alias("n_frames"), F.sum(F.length("frame")).alias("frame_bytes")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # fulltext core
+        "ft_corpus_stats": _ft_corpus_stats,
+        "ft_doclen": _ft_doclen,
+        "ft_term_stats": _ft_term_stats,
+        "ft_top_terms": _ft_top_terms,
+        "ft_df_histogram": _ft_df_histogram,
+        "ft_bm25_topk": _ft_bm25_topk,
+        "ft_bm25_multi": _ft_bm25_multi,
+        "ft_bm25_bmw": _ft_bm25_bmw,
+        # text analysis
+        "ta_token_counts": _ta_token_counts,
+        "ta_quality": _ta_quality,
+        "ta_langid": _ta_langid,
+        "ta_fingerprint": _ta_fingerprint,
+        # dedup
+        "dd_exact_groups": _dd_exact_groups,
+        "dd_minhash_sigs": _dd_minhash_sigs,
+        "dd_lsh_pairs": _dd_lsh_pairs,
+        "dd_jaccard": _dd_jaccard,
+        "dd_simhash": _dd_simhash,
+        "dd_embedding_pairs": _dd_embedding_pairs,
+        # similarity search
+        "sim_cosine_topk": _sim_cosine_topk,
+        "sim_threshold_count": _sim_threshold_count,
+        # docprep re-expression (reference operators over TPC-H-ish tables)
+        "dp_slugify": _dp_slugify,
+        "dp_category_filter": _dp_category_filter,
+        "dp_broadcast_enrich": _dp_broadcast_enrich,
+        "dp_sort_key": _dp_sort_key,
+        "dp_window_rownum": _dp_window_rownum,
+        "dp_static_boost": _dp_static_boost,
+        "dp_explode_fanout": _dp_explode_fanout,
+        "dp_headnote_unpivot": _dp_headnote_unpivot,
+        "dp_date_convert": _dp_date_convert,
+        "dp_citation_variants": _dp_citation_variants,
+        "dp_first_wins": _dp_first_wins,
+        "dp_concat_agg": _dp_concat_agg,
+        "dp_agg_pricing": _dp_agg_pricing,
+        # rows-only (non-SQL-expressible machinery)
+        "ix_lineage": _ix_lineage,
+        "ix_dictionary": _ix_dictionary,
+        "mm_features": _mm_features,
+        "mm_frames": _mm_frames,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect, ANSI-leaning)
+# --------------------------------------------------------------------------
+
+_TOKS = (
+    "select doc_id, "
+    "unnest(regexp_extract_all(lower(text), '[\\p{L}\\p{N}\\p{M}]+')) as term "
+    "from documents"
+)
+
+_MH60 = "('0x' || substr(md5({x}), 1, 15))::bigint"
+
+
+def _bm25_sql(terms: list[str], k: int, extra_cols: str = "") -> str:
+    vals = ", ".join(f"('{t}')" for t in sorted(set(terms)))
+    return f"""
+with toks as ({_TOKS}),
+dl as (select doc_id, count(*) as doclen from toks group by doc_id),
+stats as (select count(*) as n, avg(doclen) as avgdl from dl),
+q(term) as (values {vals}),
+tf as (select t.term, t.doc_id, count(*) as tf
+       from toks t join q using(term) group by 1, 2),
+df as (select term, count(*) as df from tf group by 1),
+w as (select tf.doc_id,
+             ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * 2.2
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.doclen / s.avgdl)) as w
+      from tf join df using(term) join dl using(doc_id) cross join stats s)
+select {extra_cols}doc_id, round(sum(w), 4) as score
+from w group by doc_id
+order by sum(w) desc, doc_id asc limit {k}
+"""
+
+
+def _minhash_sig_sql(id_alias: str = "doc_id") -> str:
+    seeded = [_MH60.format(x=f"'{i}:' || sh") for i in range(8)]
+    mins = ", ".join(f"min({h}) as mh{i}" for i, h in enumerate(seeded))
+    return f"""
+with toks as (
+  select doc_id, regexp_extract_all(lower(text), '[\\p{{L}}\\p{{N}}\\p{{M}}]+') as t
+  from documents),
+sh as (
+  select doc_id, unnest(case when len(t) = 0 then []::varchar[]
+    else list_distinct(case when len(t) < 3 then [array_to_string(t, ' ')]
+      else [array_to_string(t[i:i+2], ' ')
+            for i in generate_series(1, len(t) - 2)] end) end) as sh
+  from toks)
+select doc_id as {id_alias}, {mins} from sh group by doc_id
+"""
+
+
+_JACCARD_CORE = """
+with toks as (
+  select doc_id, regexp_extract_all(lower(text), '[\\p{L}\\p{N}\\p{M}]+') as t
+  from documents),
+sh as (
+  select doc_id as id, unnest(case when len(t) = 0 then []::varchar[]
+    else list_distinct(case when len(t) < 3 then [array_to_string(t, ' ')]
+      else [array_to_string(t[i:i+2], ' ')
+            for i in generate_series(1, len(t) - 2)] end) end) as sh
+  from toks),
+sizes as (select id, count(*) as sz from sh group by id),
+common as (
+  select a.id as id_a, b.id as id_b, count(*) as common
+  from sh a join sh b on a.sh = b.sh and a.id < b.id
+  group by 1, 2)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    qm = "'[\\p{L}\\p{N}\\p{M}]+'"
+    terms_in = ", ".join(f"'{t}'" for t in FT_TERMS)
+    multi = "\nunion all\n".join(
+        f"select {qid} as query_id, doc_id, score from ({_bm25_sql(q.split(), 5)})"
+        for qid, q in FT_QUERIES.items()
+    )
+    simhash_votes = ", ".join(
+        f"sum(case when (h & {1 << b}) != 0 then tf else -tf end) as v{b}"
+        for b in range(16)
+    )
+    simhash_pack = " + ".join(
+        f"(case when v{b} > 0 then {1 << b} else 0 end)" for b in range(16)
+    )
+    band_parts = []
+    for b in range(4):
+        key_expr = _MH60.format(
+            x=(
+                f"'{b}' || '_' || mh{2 * b}::varchar || '_' "
+                f"|| mh{2 * b + 1}::varchar"
+            )
+        )
+        band_parts.append(f"select id, {key_expr} as band_key from sigs")
+    band_keys = "\nunion all\n".join(band_parts)
+    return {
+        "ft_corpus_stats": f"""
+with toks as ({_TOKS}),
+dl as (select doc_id, count(*) as doclen from toks group by doc_id)
+select count(*) as n_docs, round(avg(doclen), 4) as avgdl,
+       sum(doclen) as total_tokens from dl
+""",
+        "ft_doclen": f"""
+select doc_id, len(regexp_extract_all(lower(text), {qm})) as doclen
+from documents
+""",
+        "ft_term_stats": f"""
+with toks as ({_TOKS})
+select term, count(distinct doc_id) as df, count(*) as cf
+from toks where term in ({terms_in}) group by term
+""",
+        "ft_top_terms": f"""
+with toks as ({_TOKS})
+select term, count(*) as cf from toks group by term
+order by cf desc, term asc limit 20
+""",
+        "ft_df_histogram": f"""
+with toks as ({_TOKS}),
+dft as (select term, count(distinct doc_id) as df from toks group by term)
+select cast(floor(log2(df)) as bigint) as df_bucket, count(*) as n_terms
+from dft group by 1
+""",
+        "ft_bm25_topk": _bm25_sql(FT_QUERY.split(), 10),
+        "ft_bm25_multi": multi,
+        "ft_bm25_bmw": _bm25_sql(FT_QUERY.split(), 10),
+        "ta_token_counts": f"""
+select doc_id,
+  len(regexp_extract_all(lower(text), {qm})) as n_tokens,
+  case when len(trim(text)) = 0 then 0
+       else len(regexp_split_to_array(trim(text), '\\s+')) end as n_ws_tokens,
+  len(regexp_extract_all(lower(text),
+      '[\\p{{L}}\\p{{M}}]+|\\p{{N}}+|[^\\p{{L}}\\p{{N}}\\p{{M}}\\s]')) as n_bpe_tokens
+from documents
+""",
+        "ta_quality": _ta_quality_sql(),
+        "ta_langid": _ta_langid_sql(),
+        "ta_fingerprint": f"""
+select doc_id,
+  {_MH60.format(x=f"array_to_string(regexp_extract_all(lower(text), {qm}), ' ')")}
+  as fingerprint
+from documents
+""",
+        "dd_exact_groups": f"""
+select {_MH60.format(x="substr(text, 1, 100)")} as fingerprint,
+       count(*) as dup_count, min(doc_id) as keep_id
+from documents group by 1 having count(*) > 1
+""",
+        "dd_minhash_sigs": _minhash_sig_sql(),
+        "dd_lsh_pairs": f"""
+with sigs as ({_minhash_sig_sql(id_alias="id")}),
+banded as ({band_keys})
+select distinct a.id as id_a, b.id as id_b
+from banded a join banded b
+  on a.band_key = b.band_key and a.id < b.id
+""",
+        "dd_jaccard": _JACCARD_CORE + """
+select c.id_a, c.id_b, c.common, sa.sz as size_a, sb.sz as size_b,
+       round(c.common / (sa.sz + sb.sz - c.common), 4) as jaccard
+from common c join sizes sa on c.id_a = sa.id join sizes sb on c.id_b = sb.id
+where round(c.common / (sa.sz + sb.sz - c.common), 4) >= 0.5
+""",
+        "dd_simhash": f"""
+with toks as ({_TOKS}),
+tf as (select doc_id, term, count(*) as tf,
+        {_MH60.format(x='term')} as h
+       from toks group by doc_id, term),
+votes as (select doc_id, {simhash_votes} from tf group by doc_id)
+select doc_id, cast({simhash_pack} as bigint) as simhash from votes
+""",
+        "dd_embedding_pairs": """
+select a.vec_id as id_a, b.vec_id as id_b, a.label as label,
+       round(list_cosine_similarity(a.embedding::double[], b.embedding::double[]), 4) as cos
+from embeddings a join embeddings b
+  on a.label = b.label and a.vec_id < b.vec_id
+where round(list_cosine_similarity(a.embedding::double[], b.embedding::double[]), 4) >= 0.3
+""",
+        "sim_cosine_topk": """
+with q as (select embedding::double[] as qv from embeddings where vec_id = 0)
+select vec_id, round(list_cosine_similarity(embedding::double[], qv), 4) as cos
+from embeddings, q where vec_id != 0
+order by list_cosine_similarity(embedding::double[], qv) desc, vec_id asc
+limit 10
+""",
+        "sim_threshold_count": """
+select a.label = b.label as same_label, count(*) as n_pairs
+from embeddings a join embeddings b on a.vec_id < b.vec_id
+where a.vec_id < 100 and b.vec_id < 100
+  and list_cosine_similarity(a.embedding::double[], b.embedding::double[]) >= 0.2
+group by 1
+""",
+        "dp_slugify": _dp_slugify_sql(),
+        "dp_category_filter": """
+select o_orderpriority, count(*) as n_orders,
+       round(sum(o_totalprice), 2) as total_price
+from orders where o_orderpriority in ('1-URGENT', '2-HIGH')
+group by o_orderpriority
+""",
+        "dp_broadcast_enrich": """
+select coalesce(n.n_name, 'OTHER') as resolved_nation,
+       count(*) as n_customers
+from customer c
+left join (select * from nation where n_nationkey < 10) n
+  on c.c_nationkey = n.n_nationkey
+group by 1
+""",
+        "dp_sort_key": """
+select o_orderkey,
+  lpad(year(o_orderdate)::varchar, 4, '0')
+  || lpad(o_custkey::varchar, 9, '0')
+  || lpad(o_orderkey::varchar, 10, '0') as sort_key
+from orders order by sort_key limit 20
+""",
+        "dp_window_rownum": """
+select o_custkey, o_orderkey, round(o_totalprice, 2) as price, rk
+from (select o_custkey, o_orderkey, o_totalprice,
+        row_number() over (partition by o_custkey
+                           order by o_totalprice desc, o_orderkey asc) as rk
+      from orders where o_custkey < 100)
+where rk <= 3
+""",
+        "dp_static_boost": """
+select case o_orderpriority
+         when '1-URGENT' then 10000 when '2-HIGH' then 8000
+         when '3-MEDIUM' then 5000 else 1500 end as boost,
+       count(*) as n_docs
+from orders group by 1
+""",
+        "dp_explode_fanout": """
+select doc_id, word, count(*) as n from (
+  select doc_id, unnest(string_split(text, ' ')) as word
+  from documents where doc_id < 20)
+group by 1, 2
+""",
+        "dp_headnote_unpivot": """
+select l_orderkey, l_linenumber, field_num, round(value, 2) as value from (
+  select l_orderkey, l_linenumber, 1 as field_num, l_quantity as value
+    from lineitem where l_orderkey < 50
+  union all
+  select l_orderkey, l_linenumber, 2, l_extendedprice
+    from lineitem where l_orderkey < 50
+  union all
+  select l_orderkey, l_linenumber, 3, l_discount
+    from lineitem where l_orderkey < 50
+  union all
+  select l_orderkey, l_linenumber, 4, l_tax
+    from lineitem where l_orderkey < 50)
+""",
+        "dp_date_convert": """
+select o_orderkey, strftime(o_orderdate, '%Y%m%d') as ymd,
+       strftime(strptime(strftime(o_orderdate, '%Y%m%d'), '%Y%m%d'),
+                '%Y-%m-%d') as roundtrip
+from orders where o_orderkey < 500
+""",
+        "dp_citation_variants": """
+select p_partkey, p_name as v_original,
+       regexp_replace(p_name, '\\s+', '', 'g') as v_nospace,
+       regexp_replace(p_name, '[aeiou]', '', 'g') as v_novowel,
+       upper(regexp_replace(p_name, '\\s+', '-', 'g')) as v_slug_upper
+from part
+""",
+        "dp_first_wins": """
+select l_orderkey, l_linenumber, l_partkey from (
+  select l_orderkey, l_linenumber, l_partkey,
+         row_number() over (partition by l_orderkey
+                            order by l_linenumber) as rk
+  from lineitem where l_orderkey < 200)
+where rk = 1
+""",
+        "dp_concat_agg": """
+select l_orderkey,
+       string_agg(l_linenumber::varchar, '~~' order by l_linenumber::varchar)
+         as linenumbers
+from lineitem where l_orderkey < 100 group by l_orderkey
+""",
+        "dp_agg_pricing": """
+select l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) as sum_qty,
+       round(sum(l_extendedprice), 2) as sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) as sum_disc_price,
+       round(avg(l_quantity), 4) as avg_qty,
+       count(*) as count_order
+from lineitem where l_shipdate <= '1998-09-02'
+group by l_returnflag, l_linestatus
+""",
+    }
+
+
+def _ta_quality_sql() -> str:
+    qm = "'[\\p{L}\\p{N}\\p{M}]+'"
+    stop = ", ".join(
+        f"'{w}'"
+        for w in (
+            "a an and are as at be but by for if in into is it no not of on "
+            "or such that the their then there these they this to was will with"
+        ).split()
+    )
+    return f"""
+with base as (
+  select doc_id, text, regexp_extract_all(lower(text), {qm}) as toks
+  from documents),
+m as (
+  select doc_id,
+    length(text) as n_chars,
+    len(toks) as n_tokens,
+    greatest(len(toks)::double, 1.0) as safe_tok,
+    greatest(length(text)::double, 1.0) as safe_chr,
+    list_sum(list_transform(toks, t -> length(t))) as tok_chars,
+    len(regexp_extract_all(text, '[^\\p{{L}}\\p{{N}}\\p{{M}}\\s]')) as punct,
+    len(regexp_extract_all(text, '\\p{{N}}')) as digits,
+    len(list_filter(toks, t -> list_contains([{stop}], t))) as stop_hits,
+    len(list_distinct(toks)) as uniq
+  from base)
+select doc_id, n_chars, n_tokens,
+  round(coalesce(tok_chars, 0) / safe_tok, 4) as mean_token_len,
+  round(punct / safe_chr, 4) as punct_ratio,
+  round(digits / safe_chr, 4) as digit_ratio,
+  round(stop_hits / safe_tok, 4) as stopword_ratio,
+  round(uniq / safe_tok, 4) as uniq_token_ratio
+from m
+"""
+
+
+def _ta_langid_sql() -> str:
+    qm = "'[\\p{L}\\p{N}\\p{M}]+'"
+    markers = {
+        "de": "der die das und ist nicht mit für von ein eine zu im auf als auch",
+        "en": "the and of to in is that it for was with as are this be on not",
+        "es": "el la los las de que y en un una es por con para no se del",
+        "fr": "le la les de et un une est que dans pour qui au du des ne pas",
+    }
+    hit_cols = ", ".join(
+        "len(list_filter(toks, t -> list_contains(["
+        + ", ".join(f"'{w}'" for w in words.split())
+        + f"], t))) as h_{code}"
+        for code, words in markers.items()
+    )
+    best = "greatest(h_de, h_en, h_es, h_fr)"
+    case = (
+        f"case when {best} < 1 then 'und' "
+        + " ".join(
+            f"when h_{c} = {best} then '{c}'" for c in sorted(markers)
+        )
+        + " else 'und' end"
+    )
+    return f"""
+with base as (
+  select doc_id, regexp_extract_all(lower(text), {qm}) as toks from documents),
+hits as (select doc_id, {hit_cols} from base)
+select doc_id, {case} as lang_pred from hits
+"""
+
+
+def _dp_slugify_sql() -> str:
+    # mirrors docprep.scalars.slugify: trim → drop FIRST '-' → lower →
+    # strip [$%#@!*?;:~`] → remove literal "+=()[]{}|\'<>,/^&". sequence →
+    # spaces→'-' → collapse '--+' → trim → strip edge '-'
+    literal = "+=()[]{}|\\'<>,/^&\"."
+    lit_sql = literal.replace("'", "''")
+    return f"""
+select p_partkey,
+  regexp_replace(regexp_replace(
+    regexp_replace(
+      replace(
+        replace(
+          regexp_replace(
+            lower(regexp_replace(trim(p_name), '-', '')),
+            '[$%#@!*?;:~`]', '', 'g'),
+          '{lit_sql}', ''),
+        ' ', '-'),
+      '--+', '-', 'g'),
+    '^-+', ''), '-+$', '') as slug
+from part
+"""
