@@ -178,27 +178,50 @@ def _ft_df_histogram(spark, sf_dir):
     )
 
 
-def _bm25_brute(spark, sf_dir, query_terms: list[str], k: int):
-    from solr_indexing_spark.docprep.analysis import sql_tokens, token_count
+_DOCLEN_CACHE: dict[str, tuple] = {}
 
-    docs = _docs(spark, sf_dir)
-    stats = docs.select(token_count("text").alias("dl")).agg(
-        F.count("*").alias("n"), F.avg("dl").alias("avgdl")
-    ).collect()[0]
-    n_docs, avgdl = stats["n"], float(stats["avgdl"])
-    tf = (
-        docs.select(
-            "doc_id",
-            token_count("text").alias("doclen"),
-            F.explode(sql_tokens("text")).alias("term"),
+
+def _doclen_table(spark, sf_dir):
+    """Per-corpus (doc_id, doclen) table + (N, avgdl) scalars, persisted once.
+
+    This is the brute-scorer twin of the index's ``docs`` table — at scale
+    doclen is always a precomputed narrow table, never recomputed per query
+    (the .explain of the naive plan showed size(regexp(text)) being
+    re-evaluated once per exploded TOKEN; this caches it per DOC)."""
+    from solr_indexing_spark.docprep.analysis import token_count
+
+    key = f"{id(spark)}:{sf_dir}"
+    if key not in _DOCLEN_CACHE:
+        dl = (
+            _docs(spark, sf_dir)
+            .select("doc_id", token_count("text").alias("doclen"))
+            .persist()
         )
+        row = dl.agg(
+            F.count("*").alias("n"), F.avg("doclen").alias("avgdl")
+        ).collect()[0]
+        _DOCLEN_CACHE[key] = (dl, int(row["n"]), float(row["avgdl"]))
+    return _DOCLEN_CACHE[key]
+
+
+def _bm25_brute(spark, sf_dir, query_terms: list[str], k: int):
+    """Brute-force BM25 as one job: explode → term filter (pushed against
+    the exploded stream immediately) → tf agg → df via window over the
+    already-filtered rows (no second corpus scan) → broadcast doclen join →
+    score → top-k. Corpus stats enter as literals from the per-corpus cache."""
+    from solr_indexing_spark.docprep.analysis import sql_tokens
+
+    dl, n_docs, avgdl = _doclen_table(spark, sf_dir)
+    tf = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(sql_tokens("text")).alias("term"))
         .filter(F.col("term").isin(query_terms))
-        .groupBy("term", "doc_id", "doclen")
+        .groupBy("term", "doc_id")
         .agg(F.count("*").alias("tf"))
+        .withColumn("df", F.count("*").over(Window.partitionBy("term")))
     )
-    dfs = tf.groupBy("term").agg(F.count("*").alias("df"))
     return (
-        tf.join(F.broadcast(dfs), "term")
+        tf.join(F.broadcast(dl), "doc_id")
         .withColumn(
             "w",
             F.log(

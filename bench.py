@@ -1,0 +1,162 @@
+"""Headline benchmark — one JSON line on stdout for the driver.
+
+Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]. Times the engine's headline paths:
+
+- index build over the documents table (docs/sec — the BASELINE.md metric)
+- index build over a larger deterministic synthetic pages corpus
+  (throughput at meaningful scale; synth.gen_pages, no external data)
+- BM25 block-max-WAND top-10 latency p50 over the fixed query set (warm)
+- brute-force DataFrame BM25 (the scorer A/B)
+- dedup suite (exact, MinHash-LSH verified, SimHash) over documents
+- ANN (brute cosine + multiprobe LSH) over embeddings
+- text-analysis pipeline (quality + langid + fingerprints)
+- TPC-H-ish pricing aggregate over lineitem
+
+Scaling evidence (local[8] vs local[32]) lives in tools/scaling_run.py and
+BENCH/BASELINE.md — a Spark local master is fixed per JVM, so the
+two-parallelism comparison needs two processes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import tempfile
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    synth_n = int(os.environ.get("BENCH_SYNTH_N", "20000"))
+
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry
+    from solr_indexing_spark.docprep.analysis import (
+        doc_fingerprint,
+        lang_id,
+        quality_score,
+    )
+    from solr_indexing_spark.docprep.dedup import (
+        exact_dedup,
+        minhash_near_dups,
+        simhash,
+    )
+    from solr_indexing_spark.indexing.build import build_index
+    from solr_indexing_spark.query.bmw import QuerySession
+    from solr_indexing_spark.session import get_spark
+    from solr_indexing_spark.similarity import cosine_topk_by_id, lsh_topk
+    from solr_indexing_spark.synth import write_pages_parquet
+
+    spark = get_spark("bench", cores=cpus)
+    work = tempfile.mkdtemp(prefix="bench_")
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.monotonic()
+        out = fn()
+        timings[name] = round(time.monotonic() - t0, 3)
+        return out
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    n_docs = docs.count()
+
+    # --- index build over the sf documents table -------------------------
+    pages = docs.select(
+        F.format_string("doc://%010d", F.col("doc_id")).alias("url"),
+        "text",
+        "lang",
+    )
+    idx = f"{work}/idx_docs"
+    timed("q_index_build_docs", lambda: build_index(spark, pages, idx, num_buckets=8))
+    docs_per_sec = round(n_docs / timings["q_index_build_docs"], 1)
+
+    # --- index build over the synthetic pages corpus ---------------------
+    synth_path = f"{work}/pages_synth.parquet"
+    write_pages_parquet(synth_path, synth_n, seed=7)
+    synth_pages = spark.read.parquet(synth_path)
+    idx2 = f"{work}/idx_synth"
+    timed(
+        "q_index_build_synth",
+        lambda: build_index(spark, synth_pages, idx2, num_buckets=16),
+    )
+    synth_docs_per_sec = round(synth_n / timings["q_index_build_synth"], 1)
+
+    # --- BM25 query latency (warm p50 over the fixed query set) ----------
+    queries = list(entry.FT_QUERIES.values()) + [
+        "merge sort shuffle",
+        "slow scan filter",
+        "customer value",
+    ]
+    qsess = QuerySession(spark, idx, cache_dictionary=True, cache_postings=True)
+    qsess.topk(queries[0], k=10).collect()  # warm caches + codegen
+    lat = []
+    t0 = time.monotonic()
+    for q in queries:
+        tq = time.monotonic()
+        qsess.topk(q, k=10).collect()
+        lat.append(time.monotonic() - tq)
+    timings["q_bm25_bmw"] = round(time.monotonic() - t0, 3)
+    p50_ms = round(statistics.median(lat) * 1000, 1)
+
+    timed(
+        "q_bm25_brute",
+        lambda: entry._bm25_brute(spark, sf_dir, entry.FT_QUERY.split(), 10).collect(),
+    )
+
+    # --- dedup suite -----------------------------------------------------
+    timed("q_exact_dedup", lambda: exact_dedup(docs).count())
+    timed("q_minhash_dedup", lambda: minhash_near_dups(docs, threshold=0.5).count())
+    timed("q_simhash", lambda: simhash(docs).count())
+
+    # --- ANN -------------------------------------------------------------
+    timed("q_ann_brute", lambda: cosine_topk_by_id(emb, 0, k=10).collect())
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 1).collect()[0]["embedding"]]
+    timed("q_ann_lsh", lambda: lsh_topk(emb, qvec, k=10).collect())
+
+    # --- text analysis pipeline ------------------------------------------
+    timed(
+        "q_text_analysis",
+        lambda: docs.select(
+            "doc_id",
+            quality_score("text").alias("q"),
+            lang_id("text").alias("lang_pred"),
+            doc_fingerprint("text").alias("fp"),
+        ).count(),
+    )
+
+    # --- TPC-H-ish pricing agg -------------------------------------------
+    timed("q_tpch_pricing", lambda: entry._dp_agg_pricing(spark, sf_dir).collect())
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": cpus,
+                "n_docs": n_docs,
+                "docs_per_sec_sf_corpus": docs_per_sec,
+                "synth_corpus_n": synth_n,
+                "docs_per_sec_synth": synth_docs_per_sec,
+                "bm25_p50_ms": p50_ms,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.stderr.write("bench: starting\n")
+    main()

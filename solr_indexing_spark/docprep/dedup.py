@@ -211,9 +211,27 @@ def minhash_near_dups(
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, num_hashes, shingle_n, text_col, id_col)
     cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
-    exact = jaccard_pairs(df, 0.0, shingle_n, text_col, id_col)
+    # verify CANDIDATES ONLY: join each pair to its two shingle sets and
+    # intersect in-row (array_intersect) — never the all-pairs shingle
+    # self-join, so verify cost is O(candidates), the property that makes
+    # MinHash-LSH the 10^12-doc path.
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles(text_col, shingle_n).alias("sh")
+    )
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     return (
-        cands.join(exact, ["id_a", "id_b"])
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common")
+                / (F.size("sh_a") + F.size("sh_b") - F.col("common")),
+                4,
+            ),
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

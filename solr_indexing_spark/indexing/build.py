@@ -228,11 +228,16 @@ def build_index(
     ).persist()
 
     # ---- head-term salting (contiguous doc ranges) ---------------------
-    df_per_term = tf.groupBy("term").agg(F.count("*").alias("df"))
-    head_terms = [
-        r["term"]
-        for r in df_per_term.filter(F.col("df") > salt_df_threshold).collect()
-    ]
+    # df <= n_docs, so when the threshold can't be exceeded skip the extra
+    # job entirely (saves a full pass at small scale; free at large scale).
+    if salt_df_threshold >= n_docs_total:
+        head_terms = []
+    else:
+        df_per_term = tf.groupBy("term").agg(F.count("*").alias("df"))
+        head_terms = [
+            r["term"]
+            for r in df_per_term.filter(F.col("df") > salt_df_threshold).collect()
+        ]
     if head_terms:
         head_set = set(head_terms)
         tf = tf.withColumn(

@@ -167,6 +167,47 @@ def bmw_shard_topk(
     return sorted(((-nd, s) for s, nd in heap), key=lambda t: (-t[1], t[0]))[:k]
 
 
+class QuerySession:
+    """Warm query handle over one built segment — the shape a query server
+    holds: manifest read once, dictionary persisted in executor memory,
+    optionally the (pruned-scan) postings too. Per-query work is then just
+    a tiny dictionary-lookup job plus the pruned BMW job.
+
+    At 10^12-doc scale: cache the dictionary (small — one row per distinct
+    term per bucket), never the postings (``cache_postings`` stays False;
+    the postings scan is bucket-pruned to the query's terms' partitions).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_dir: str,
+        cache_dictionary: bool = True,
+        cache_postings: bool = False,
+    ):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.man = read_manifest(index_dir)
+        self.dictionary = spark.read.parquet(f"{index_dir}/dictionary")
+        self.postings = spark.read.parquet(f"{index_dir}/postings")
+        if cache_dictionary:
+            self.dictionary = self.dictionary.persist()
+        if cache_postings:
+            self.postings = self.postings.persist()
+
+    def close(self) -> None:
+        self.dictionary.unpersist()
+        self.postings.unpersist()
+
+    def topk(
+        self, query: str, k: int = 10, shard_range: int = 1 << 17
+    ) -> DataFrame:
+        return _topk_impl(
+            self.spark, self.man, self.dictionary, self.postings, query, k,
+            shard_range,
+        )
+
+
 def topk(
     spark: SparkSession,
     index_dir: str,
@@ -176,12 +217,34 @@ def topk(
 ) -> DataFrame:
     """BM25 top-k (doc_id, score) over a built segment, via block-max WAND.
 
+    One-shot convenience over :class:`QuerySession` (no caching).
+
     Plan: dictionary lookup (bucket-pruned scan, tiny result collected) →
     postings scan pruned to the query terms' buckets → explode blocks over
     overlapped doc-range shards → applyInPandas BMW per shard (≤k rows out)
     → global orderBy(score desc, doc_id asc).limit(k).
     """
     man = read_manifest(index_dir)
+    return _topk_impl(
+        spark,
+        man,
+        spark.read.parquet(f"{index_dir}/dictionary"),
+        spark.read.parquet(f"{index_dir}/postings"),
+        query,
+        k,
+        shard_range,
+    )
+
+
+def _topk_impl(
+    spark: SparkSession,
+    man: dict,
+    dictionary: DataFrame,
+    postings: DataFrame,
+    query: str,
+    k: int,
+    shard_range: int,
+) -> DataFrame:
     num_buckets = man["num_buckets"]
     n_docs, avgdl = man["n_docs"], man["avgdl"]
 
@@ -192,7 +255,7 @@ def topk(
     buckets = sorted({_term_bucket_py(t, num_buckets) for t in terms})
 
     dict_rows = (
-        spark.read.parquet(f"{index_dir}/dictionary")
+        dictionary
         .filter(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
         .collect()
     )
@@ -204,7 +267,7 @@ def topk(
         term_meta[r["term"]] = (idf, idf * r["max_tf_norm"])
 
     blocks = (
-        spark.read.parquet(f"{index_dir}/postings")
+        postings
         .filter(F.col("bucket").isin(buckets) & F.col("term").isin(list(term_meta)))
         .select(
             "term", "block_id", "first_doc_id", "last_doc_id", "n_docs",
