@@ -18,13 +18,8 @@ import numpy as np
 _MAX_WIDTH = 10  # ceil(64/7)
 
 
-def vbyte_encode(values: np.ndarray | list[int]) -> bytes:
-    """Encode non-negative int64/uint64 values to a VByte byte string."""
-    a = np.asarray(values, dtype=np.uint64)
-    if a.size == 0:
-        return b""
-    if a.ndim != 1:
-        raise ValueError("vbyte_encode expects a 1-D array")
+def _encode_core(a: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(values uint64) → (byte stream uint8, per-value start offsets)."""
     # bytes needed per value: 1 + number of 7-bit shifts still nonzero
     nb = np.ones(a.size, dtype=np.int64)
     for shift in range(7, 64, 7):
@@ -36,7 +31,44 @@ def vbyte_encode(values: np.ndarray | list[int]) -> bytes:
         chunk = (a[mask] >> np.uint64(7 * k)) & np.uint64(0x7F)
         cont = (nb[mask] - 1 > k).astype(np.uint8) << 7  # 0x80 if more bytes
         out[starts[mask] + k] = chunk.astype(np.uint8) | cont
+    return out, starts
+
+
+def vbyte_encode(values: np.ndarray | list[int]) -> bytes:
+    """Encode non-negative int64/uint64 values to a VByte byte string."""
+    a = np.asarray(values, dtype=np.uint64)
+    if a.size == 0:
+        return b""
+    if a.ndim != 1:
+        raise ValueError("vbyte_encode expects a 1-D array")
+    out, _ = _encode_core(a)
     return out.tobytes()
+
+
+def vbyte_encode_chunked(
+    values: np.ndarray, counts: np.ndarray
+) -> list[bytes]:
+    """Encode a concatenation of groups in ONE vectorized pass and return
+    each group's byte string.
+
+    ``values`` is the concatenated stream; ``counts[i]`` is group i's value
+    count (zeros allowed → b""). Equivalent to
+    ``[vbyte_encode(g) for g in groups]`` but without per-group numpy-call
+    overhead — the difference between ~40µs and ~1µs per posting block,
+    which dominates an index build with millions of blocks.
+    """
+    a = np.asarray(values, dtype=np.uint64)
+    counts = np.asarray(counts, dtype=np.int64)
+    if a.size == 0:
+        return [b""] * len(counts)
+    out, starts = _encode_core(a)
+    total = out.tobytes()
+    bounds = np.append(starts, len(total))
+    vstart = np.cumsum(counts) - counts
+    vend = vstart + counts
+    return [
+        total[bounds[vstart[i]] : bounds[vend[i]]] for i in range(len(counts))
+    ]
 
 
 def vbyte_decode(buf: bytes | bytearray | memoryview) -> np.ndarray:

@@ -4,14 +4,16 @@ This is the from-scratch half (BASELINE.json north_star): the reference hands
 documents to Solr for inverted-index construction (commented BulkIndexing,
 solrIndexCreation.ts:876-882); here the segments ARE the sink.
 
-Dataflow (one term-hash shuffle, everything else narrow):
+Dataflow (one term-hash shuffle of the token stream, everything else narrow):
 
-    pages ──extract/verify──▶ docs (stable doc_id, doclen)          [range shuffle]
-      └─ tokenize (Arrow UDF) ─ posexplode ─ groupBy(term,doc) tf   [partial+final hash agg]
-         └─ salt head terms (df > threshold → contiguous doc-range shards)
-            └─ applyInPandas build_blocks per (term,salt)           [term-hash shuffle]
-               └─ postings parquet partitioned by bucket (pruning at query time)
-    dictionary = blocks.groupBy(term) agg ; stats = docs.agg ; lineage per partition
+    pages ──extract/verify──▶ docs (stable doc_id JVM-side, doclen) [range shuffle]
+      └─ tokenize (Arrow UDF) ─ explode ─ salt head terms (cf > threshold →
+         contiguous doc-range shards)
+         └─ repartition(term,salt) + sortWithinPartitions            [term-hash shuffle]
+            └─ mapInPandas: run-length tf + block build (vectorized) — the
+               tf "groupBy" happens inside this one exchange, not as its own
+            └─ postings parquet partitioned by bucket (pruning at query time)
+    dictionary = blocks.groupBy(term) agg ; stats from lineage agg ; lineage per partition
 
 Skew handling (SURVEY.md §4.2-1): Zipf head terms would hot-spot single
 reducers inside the groupBy — AQE cannot split a groupBy key — so terms whose
@@ -35,12 +37,13 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .. import BLOCK_SIZE, K1, B as B_PARAM
-from ..codec import vbyte_encode
+from ..codec import vbyte_encode, vbyte_encode_chunked
 from ..textprep import (
     EXTRACTOR_VERSION,
     TOKENIZER_VERSION,
     extract_text,
     tokenize,
+    tokenize_tf,
 )
 from .docids import assign_doc_ids
 
@@ -71,49 +74,149 @@ def tf_norm(tf: np.ndarray, doclen: np.ndarray, avgdl: float) -> np.ndarray:
 
 
 def _make_block_builder(avgdl: float, num_buckets: int, block_size: int):
-    def build_blocks(pdf: pd.DataFrame) -> pd.DataFrame:
-        t0 = time.monotonic_ns()
-        term = pdf["term"].iloc[0]
-        order = np.argsort(pdf["doc_id"].to_numpy(), kind="stable")
-        doc_ids = pdf["doc_id"].to_numpy()[order].astype(np.int64)
-        tfs = pdf["tf"].to_numpy()[order].astype(np.int64)
-        doclens = pdf["doclen"].to_numpy()[order].astype(np.float64)
-        norms = tf_norm(tfs, doclens, avgdl)
-        bucket = _term_bucket_py(term, num_buckets)
-        salt = int(pdf["salt"].iloc[0])
-        n = len(doc_ids)
-        rows = []
-        # block ids: globally ordered across salt shards because salting is by
-        # contiguous doc range — shard s covers ids < shard s+1 entirely.
-        base_block = salt << 20  # up to 1M blocks per shard
-        for b, lo in enumerate(range(0, n, block_size)):
-            hi = min(lo + block_size, n)
-            ids = doc_ids[lo:hi]
-            gaps = vbyte_encode(np.diff(ids).astype(np.uint64))
-            tf_bytes = vbyte_encode(tfs[lo:hi].astype(np.uint64))
-            dl_bytes = vbyte_encode(doclens[lo:hi].astype(np.uint64))
-            rows.append(
-                (
-                    term,
-                    bucket,
-                    base_block + b,
-                    int(ids[0]),
-                    int(ids[-1]),
-                    int(hi - lo),
-                    gaps,
-                    tf_bytes,
-                    dl_bytes,
-                    float(norms[lo:hi].max()),
-                    int(tfs[lo:hi].sum()),
-                    (time.monotonic_ns() - t0) // 1000,
-                )
-            )
-        return pd.DataFrame(
-            rows,
-            columns=[f.name for f in POSTINGS_SCHEMA.fields],
-        )
+    """Streaming (mapInPandas) block builder over a partition that is
+    hash-partitioned by (term, salt) and sorted by (term, salt, doc_id).
 
-    return build_blocks
+    Why mapInPandas and not groupBy().applyInPandas: a web corpus has one
+    posting-list group per distinct term — millions of tiny groups — and
+    applyInPandas pays a Python-call + pandas-construction cost per GROUP.
+    Here each Python call processes a whole Arrow batch of many groups;
+    group boundaries are found vectorized (numpy change-point scan), and a
+    group that straddles a batch boundary is carried over in a buffer.
+    Measured at 30k docs/5.9M postings: block stage 27s → ~8s on local[8],
+    and the per-group overhead no longer caps core scaling.
+    """
+    cols = [f.name for f in POSTINGS_SCHEMA.fields]
+
+    def blocks_for(pdf: pd.DataFrame) -> pd.DataFrame:
+        t0 = time.monotonic_ns()
+        terms_t = pdf["term"].to_numpy()
+        salts_t = pdf["salt"].to_numpy().astype(np.int64)
+        ids_t = pdf["doc_id"].to_numpy().astype(np.int64)
+        dls_t = pdf["doclen"].to_numpy().astype(np.float64)
+        nt = len(pdf)
+        if "tf" in pdf.columns:
+            tfs_t = pdf["tf"].to_numpy().astype(np.int64)
+        else:  # token-occurrence shape: each row counts 1
+            tfs_t = np.ones(nt, dtype=np.int64)
+        # ---- run-length tf: rows sorted by (term, salt, doc_id); equal-
+        # triple runs collapse, summing their tf (doc-local pre-agg rows
+        # arrive unique, raw token streams arrive with tf=1 per occurrence
+        # — both shapes reduce here, inside the one term-partitioned
+        # exchange, replacing a whole groupBy shuffle).
+        rchange = np.empty(nt, dtype=bool)
+        rchange[0] = True
+        rchange[1:] = (
+            (terms_t[1:] != terms_t[:-1])
+            | (salts_t[1:] != salts_t[:-1])
+            | (ids_t[1:] != ids_t[:-1])
+        )
+        rstarts = np.flatnonzero(rchange)
+        tfs = np.add.reduceat(tfs_t, rstarts).astype(np.int64)
+        terms = terms_t[rstarts]
+        salts = salts_t[rstarts]
+        doc_ids = ids_t[rstarts]
+        doclens = dls_t[rstarts]
+        norms = tf_norm(tfs, doclens, avgdl)
+        n = len(rstarts)
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        change[1:] = (terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1])
+        gstarts = np.flatnonzero(change)
+        gends = np.append(gstarts[1:], n)
+
+        # ---- block boundaries (vectorized over ALL groups) -------------
+        blocks_per_group = (gends - gstarts + block_size - 1) // block_size
+        g_of_block = np.repeat(np.arange(len(gstarts)), blocks_per_group)
+        # index of each block within its group
+        first_of_g = np.cumsum(blocks_per_group) - blocks_per_group
+        block_in_g = np.arange(len(g_of_block)) - first_of_g[g_of_block]
+        bstarts = gstarts[g_of_block] + block_in_g * block_size
+        bends = np.minimum(bstarts + block_size, gends[g_of_block])
+        n_blocks = len(bstarts)
+
+        # ---- per-block stats via reduceat (bstarts are contiguous) -----
+        bmax = np.maximum.reduceat(norms, bstarts)
+        sum_tf = np.add.reduceat(tfs, bstarts)
+        ndocs = bends - bstarts
+
+        # ---- one-pass codec: gaps (diffs, dropping block firsts) -------
+        diffs = np.empty(n, dtype=np.int64)
+        diffs[0] = 0
+        diffs[1:] = doc_ids[1:] - doc_ids[:-1]
+        keep = np.ones(n, dtype=bool)
+        keep[bstarts] = False
+        gaps_enc = vbyte_encode_chunked(diffs[keep].astype(np.uint64), ndocs - 1)
+        tfs_enc = vbyte_encode_chunked(tfs.astype(np.uint64), ndocs)
+        dls_enc = vbyte_encode_chunked(doclens.astype(np.uint64), ndocs)
+
+        # ---- per-group scalars, fanned to blocks ------------------------
+        group_terms = terms[gstarts]
+        group_buckets = np.fromiter(
+            (_term_bucket_py(t, num_buckets) for t in group_terms),
+            dtype=np.int64,
+            count=len(group_terms),
+        )
+        # block ids: globally ordered across salt shards because salting is
+        # by contiguous doc range — shard k covers ids < shard k+1.
+        block_ids = (salts[gstarts][g_of_block] << 20) + block_in_g
+
+        out = pd.DataFrame(
+            {
+                "term": terms[bstarts],
+                "bucket": group_buckets[g_of_block].astype(np.int32),
+                "block_id": block_ids.astype(np.int32),
+                "first_doc_id": doc_ids[bstarts],
+                "last_doc_id": doc_ids[bends - 1],
+                "n_docs": ndocs.astype(np.int32),
+                "doc_gaps": gaps_enc,
+                "tfs": tfs_enc,
+                "doclens": dls_enc,
+                "block_max_tf_norm": bmax,
+                "sum_tf": sum_tf,
+                "build_us": np.zeros(n_blocks, dtype=np.int64),
+            },
+            columns=cols,
+        )
+        if n_blocks:
+            # amortize the partition's wall over its blocks (lineage metric)
+            out["build_us"] = (time.monotonic_ns() - t0) // 1000 // n_blocks
+        return out
+
+    def stream(batches):
+        # `pending` accumulates batches whose trailing group may continue in
+        # the next batch. It is a LIST concatenated once per flush — a naive
+        # concat-per-batch carry buffer is O(batches²) row copies for any
+        # posting group spanning many Arrow batches (head terms always do),
+        # which profiling showed as a multi-minute stall at 240k docs.
+        pending: list[pd.DataFrame] = []
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            last_term = pdf["term"].iloc[-1]
+            last_salt = pdf["salt"].iloc[-1]
+            tail = (pdf["term"] == last_term) & (pdf["salt"] == last_salt)
+            not_tail = np.flatnonzero(~tail.to_numpy())
+            split = int(not_tail[-1]) + 1 if len(not_tail) else 0
+            if split == 0:
+                pending.append(pdf)  # whole batch continues one group
+                continue
+            head, tail_df = pdf.iloc[:split], pdf.iloc[split:]
+            if pending:
+                head = pd.concat(pending + [head], ignore_index=True)
+                pending = []
+            yield blocks_for(head)
+            pending = [tail_df]
+        if pending:
+            rest = (
+                pd.concat(pending, ignore_index=True)
+                if len(pending) > 1
+                else pending[0]
+            )
+            if len(rest):
+                yield blocks_for(rest)
+
+    return stream
 
 
 def _term_bucket_py(term: str, num_buckets: int) -> int:
@@ -149,11 +252,18 @@ def build_docs(
         pages = pages.withColumn("text", extract_text(F.col("html")))
     elif verify_extraction and "html" in cols:
         pages = pages.withColumn("_ext", extract_text(F.col("html")))
-    docs = assign_doc_ids(pages, order_col="url", num_partitions=num_partitions, base_doc_id=base_doc_id)
-    docs = docs.withColumn("toks", tokenize(F.col("text"))).withColumn(
-        "doclen", F.size("toks")
+    # html is dead weight past this point — drop it BEFORE the range
+    # shuffle so the shuffle moves text, not raw page bytes
+    pages = pages.select(
+        *[c for c in ("url", "text", "lang", "_ext") if c in pages.columns]
     )
-    keep = ["doc_id", "url", "text", "lang", "doclen", "toks", "_pid", "_wall_ms"]
+    docs = assign_doc_ids(pages, order_col="url", num_partitions=num_partitions, base_doc_id=base_doc_id)
+    # doclen only — the token ARRAYS are deliberately not kept: caching or
+    # writing array<string> per doc costs ~10× the docs-table write itself
+    # (measured); the posting path re-tokenizes from the compact docs
+    # parquet instead (one extra Arrow-UDF pass, fully parallel).
+    docs = docs.withColumn("doclen", F.size(tokenize(F.col("text"))))
+    keep = ["doc_id", "url", "text", "lang", "doclen", "_pid", "_wall_ms"]
     if "_ext" in docs.columns:
         keep.append("_ext")
     return docs.select(*[c for c in keep if c in docs.columns])
@@ -184,7 +294,7 @@ def build_index(
     docs = build_docs(
         pages, num_partitions=num_partitions, base_doc_id=base_doc_id,
         verify_extraction=verify_extraction,
-    ).persist()
+    )
 
     if "_ext" in docs.columns:
         n_bad = docs.filter(F.col("_ext") != F.col("text")).count()
@@ -193,66 +303,105 @@ def build_index(
                 f"extract_text(html) != text for {n_bad} rows — "
                 "byte-identity invariant violated"
             )
+        docs = docs.drop("_ext")
 
-    # ---- stats (N, avgdl) — one tiny agg -------------------------------
-    stats_row = docs.agg(
-        F.count("*").alias("n_docs"),
-        F.avg("doclen").alias("avgdl"),
-        F.sum("doclen").alias("total_tokens"),
-    ).collect()[0]
-    n_docs_total = stats_row["n_docs"]
-    avgdl = float(stats_row["avgdl"] or 1.0)
-
-    # ---- docs table + docs-stage lineage -------------------------------
+    # ---- docs table write (pass 1: ids + tokenize-for-doclen + write).
+    # No .persist(): the docs parquet IS the materialization — later stages
+    # re-read the compact columnar file instead of a token-array cache.
+    docs.select(
+        "doc_id", "url", "text", "lang", "doclen", "_pid"
+    ).write.mode("overwrite").parquet(f"{out_dir}/docs")
     docs_wall = time.monotonic() - t_start
-    docs.select("doc_id", "url", "text", "lang", "doclen").write.mode(
-        "overwrite"
-    ).parquet(f"{out_dir}/docs")
-    docs_lineage = docs.groupBy(F.col("_pid").alias("partition_id")).agg(
-        F.min("doc_id").alias("doc_lo"),
-        F.max("doc_id").alias("doc_hi"),
-        F.count("*").alias("n_docs"),
-        F.sum("doclen").alias("token_count"),
-        F.sum(F.length("text")).alias("bytes"),
-        F.max("_wall_ms").alias("wall_ms"),
-    ).withColumn("stage", F.lit("docs"))
+    docs_r = spark.read.parquet(f"{out_dir}/docs")
 
-    # ---- term frequencies: tokenize → posexplode → hash agg ------------
+    # ---- docs-stage lineage from the written table (text pruned to a
+    # length agg; stats derive driver-side — no separate stats pass) -----
+    lineage_rows = (
+        docs_r.groupBy(F.col("_pid").alias("partition_id"))
+        .agg(
+            F.min("doc_id").alias("doc_lo"),
+            F.max("doc_id").alias("doc_hi"),
+            F.count("*").alias("n_docs"),
+            F.sum("doclen").alias("token_count"),
+            F.sum(F.length("text")).alias("bytes"),
+        )
+        .collect()
+    )
+    n_docs_total = sum(r["n_docs"] for r in lineage_rows)
+    total_tokens = sum(r["token_count"] for r in lineage_rows)
+    avgdl = (total_tokens / n_docs_total) if n_docs_total else 1.0
+    docs_stage_ms = docs_wall * 1000.0 / max(len(lineage_rows), 1)
+    docs_lineage = spark.createDataFrame(
+        [
+            (
+                "docs", r["partition_id"], r["doc_lo"], r["doc_hi"],
+                r["n_docs"], r["token_count"], r["bytes"], docs_stage_ms,
+            )
+            for r in lineage_rows
+        ],
+        "stage string, partition_id int, doc_lo long, doc_hi long, "
+        "n_docs long, token_count long, bytes long, wall_ms double",
+    )
+
+    # ---- tf stream: re-tokenize from the written docs table with
+    # DOC-LOCAL tf aggregation (tokenize_tf) → explode one row per distinct
+    # (doc, term) — 2-3× less shuffle volume than raw token occurrences.
     # doclen rides along (functionally dependent on doc_id) to avoid a
-    # docs-side join when computing block-max norms.
-    tok_col = "toks"
-    tf = (
-        docs.select("doc_id", "doclen", F.explode(tok_col).alias("term"))
-        .groupBy("term", "doc_id", "doclen")
-        .agg(F.count("*").alias("tf"))
-    ).persist()
+    # docs-side join when computing block-max norms. NO tf groupBy shuffle:
+    # residual reduction happens inside the term-partitioned sort below, so
+    # the whole posting path is ONE exchange of the stream.
+    exploded = docs_r.select(
+        "doc_id", "doclen", F.explode(tokenize_tf(F.col("text"))).alias("e")
+    ).select(
+        "doc_id", "doclen", F.col("e.term").alias("term"), F.col("e.tf").alias("tf")
+    )
 
     # ---- head-term salting (contiguous doc ranges) ---------------------
-    # df <= n_docs, so when the threshold can't be exceeded skip the extra
-    # job entirely (saves a full pass at small scale; free at large scale).
+    # Skip the detection pass when the threshold can't be exceeded
+    # (df <= cf and cf <= total tokens; cheap guard: threshold >= n_docs
+    # means no term's df can cross it). When active, the collection
+    # frequency cf is used as the (cheaper, upper-bounding) proxy for df —
+    # salting a few extra near-head terms is harmless, missing one is not
+    # possible since cf >= df.
     if salt_df_threshold >= n_docs_total:
         head_terms = []
     else:
-        df_per_term = tf.groupBy("term").agg(F.count("*").alias("df"))
+        # detect head terms on a SAMPLE — a full-corpus cf pass would cost
+        # an entire extra tokenize+agg job (event-log profiling: ~20% of
+        # the build). Sampling with a 0.5 safety margin over-salts a few
+        # near-head terms (harmless) and cannot miss a true head term in
+        # expectation; exactness is not required, only skew protection.
+        frac = min(1.0, max(0.02, 2_000_000.0 / max(total_tokens, 1)))
+        scaled = salt_df_threshold * frac * 0.5
         head_terms = [
             r["term"]
-            for r in df_per_term.filter(F.col("df") > salt_df_threshold).collect()
+            for r in docs_r.sample(fraction=frac, seed=7)
+            .select(F.explode(tokenize(F.col("text"))).alias("term"))
+            .groupBy("term")
+            .agg(F.count("*").alias("cf"))
+            .filter(F.col("cf") > scaled)
+            .collect()
         ]
     if head_terms:
-        head_set = set(head_terms)
-        tf = tf.withColumn(
+        exploded = exploded.withColumn(
             "salt",
             F.when(
-                F.col("term").isin(list(head_set)),
+                F.col("term").isin(head_terms),
                 (F.col("doc_id") / F.lit(salt_range)).cast("int"),
             ).otherwise(F.lit(0)),
         )
     else:
-        tf = tf.withColumn("salt", F.lit(0).cast("int"))
+        exploded = exploded.withColumn("salt", F.lit(0).cast("int"))
 
-    # ---- the one big shuffle: group by (term, salt) → block build ------
+    # ---- the ONE big shuffle: hash-partition the token stream by
+    # (term, salt), sort within partitions by (term, salt, doc_id), then
+    # stream-build tf runs + blocks (many groups per Python call)
     builder = _make_block_builder(avgdl, num_buckets, block_size)
-    blocks = tf.groupBy("term", "salt").applyInPandas(builder, POSTINGS_SCHEMA)
+    blocks = (
+        exploded.repartition("term", "salt")
+        .sortWithinPartitions("term", "salt", "doc_id")
+        .mapInPandas(builder, POSTINGS_SCHEMA)
+    )
     blocks.write.mode("overwrite").partitionBy("bucket").parquet(
         f"{out_dir}/postings"
     )
@@ -285,7 +434,7 @@ def build_index(
     ).write.mode("overwrite").parquet(f"{out_dir}/lineage")
 
     spark.createDataFrame(
-        [(int(n_docs_total), float(avgdl), int(stats_row["total_tokens"] or 0))],
+        [(int(n_docs_total), float(avgdl), int(total_tokens))],
         T.StructType(
             [
                 T.StructField("n_docs", T.LongType(), False),
@@ -295,8 +444,6 @@ def build_index(
         ),
     ).write.mode("overwrite").parquet(f"{out_dir}/stats")
 
-    docs.unpersist()
-    tf.unpersist()
 
     manifest = {
         "format_version": 1,

@@ -124,7 +124,12 @@ def gen_pages(n: int, seed: int = 42, skew: bool = False) -> pd.DataFrame:
 
 def write_pandas_pages(pdf: pd.DataFrame, path: str) -> str:
     """Write a pages-shaped pandas frame as Spark-readable parquet
-    (timestamps down-cast to microseconds — Spark rejects NANOS)."""
+    (timestamps down-cast to microseconds — Spark rejects NANOS).
+
+    Row groups are capped at 10k rows: Spark can only split a parquet file
+    at row-group boundaries, so a single-row-group file would pin the whole
+    scan (and everything narrow after it) to ONE task regardless of cores.
+    """
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -138,7 +143,7 @@ def write_pandas_pages(pdf: pd.DataFrame, path: str) -> str:
         ]
     )
     table = pa.Table.from_pandas(pdf, schema=schema, preserve_index=False)
-    pq.write_table(table, path)
+    pq.write_table(table, path, row_group_size=10_000)
     return path
 
 

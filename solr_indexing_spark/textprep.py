@@ -134,6 +134,36 @@ def tokenize(text: pd.Series) -> pd.Series:
     return text.fillna("").str.lower().str.findall(TOKEN_RE)
 
 
+_TF_STRUCT = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("term", T.StringType(), False),
+            T.StructField("tf", T.IntegerType(), False),
+        ]
+    )
+)
+
+
+@F.pandas_udf(_TF_STRUCT)
+def tokenize_tf(text: pd.Series) -> pd.Series:
+    """Per-document term frequencies: array<struct<term,tf>>.
+
+    Doc-local tf aggregation INSIDE the tokenizer (the Lucene per-doc
+    inverter move): the index build then shuffles one row per distinct
+    (doc, term) instead of one per token occurrence — for typical web text
+    a 2-3× cut in shuffle/sort volume, which is the index build's
+    dominant cost. Same token semantics as ``tokenize``.
+    """
+    from collections import Counter
+
+    out = []
+    for toks in text.fillna("").str.lower().str.findall(TOKEN_RE):
+        # Counter's C-level _count_elements: ~10× faster than sorting-based
+        # unique on object arrays for short docs
+        out.append(list(Counter(toks).items()) if toks else [])
+    return pd.Series(out)
+
+
 # Stopword list for the second analyzer variant (the reference maintains a
 # parallel stopword index: IndexNameStopword, solrIndexCreation.ts:877-880).
 # Public Lucene/Solr default English stop set.
