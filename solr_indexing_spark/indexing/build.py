@@ -39,6 +39,7 @@ from pyspark.sql import types as T
 from .. import BLOCK_SIZE, K1, B as B_PARAM
 from ..codec import vbyte_encode, vbyte_encode_chunked
 from ..textprep import (
+    ANALYZERS,
     EXTRACTOR_VERSION,
     TOKENIZER_VERSION,
     extract_text,
@@ -240,6 +241,7 @@ def build_docs(
     num_partitions: int | None = None,
     base_doc_id: int = 0,
     verify_extraction: bool = False,
+    analyzer: str = "default",
 ) -> DataFrame:
     """pages → docs(doc_id, url, text, lang, doclen, toks, _pid, _wall_ms).
 
@@ -262,7 +264,8 @@ def build_docs(
     # writing array<string> per doc costs ~10× the docs-table write itself
     # (measured); the posting path re-tokenizes from the compact docs
     # parquet instead (one extra Arrow-UDF pass, fully parallel).
-    docs = docs.withColumn("doclen", F.size(tokenize(F.col("text"))))
+    tok_udf, _, _ = ANALYZERS[analyzer]
+    docs = docs.withColumn("doclen", F.size(tok_udf(F.col("text"))))
     keep = ["doc_id", "url", "text", "lang", "doclen", "_pid", "_wall_ms"]
     if "_ext" in docs.columns:
         keep.append("_ext")
@@ -293,8 +296,9 @@ def build_index(
 
     docs = build_docs(
         pages, num_partitions=num_partitions, base_doc_id=base_doc_id,
-        verify_extraction=verify_extraction,
+        verify_extraction=verify_extraction, analyzer=analyzer,
     )
+    tok_udf, tf_udf, _ = ANALYZERS[analyzer]
 
     if "_ext" in docs.columns:
         n_bad = docs.filter(F.col("_ext") != F.col("text")).count()
@@ -351,7 +355,7 @@ def build_index(
     # residual reduction happens inside the term-partitioned sort below, so
     # the whole posting path is ONE exchange of the stream.
     exploded = docs_r.select(
-        "doc_id", "doclen", F.explode(tokenize_tf(F.col("text"))).alias("e")
+        "doc_id", "doclen", F.explode(tf_udf(F.col("text"))).alias("e")
     ).select(
         "doc_id", "doclen", F.col("e.term").alias("term"), F.col("e.tf").alias("tf")
     )
@@ -376,7 +380,7 @@ def build_index(
         head_terms = [
             r["term"]
             for r in docs_r.sample(fraction=frac, seed=7)
-            .select(F.explode(tokenize(F.col("text"))).alias("term"))
+            .select(F.explode(tok_udf(F.col("text"))).alias("term"))
             .groupBy("term")
             .agg(F.count("*").alias("cf"))
             .filter(F.col("cf") > scaled)

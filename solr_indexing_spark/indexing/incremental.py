@@ -1,0 +1,130 @@
+"""Partial re-index — the reference's update path re-expressed.
+
+The reference's ``CaseLawsPartialIndex`` (solrIndexCreation.ts:2957-3192)
+re-indexes only changed documents, with Solr absorbing the upsert. Here the
+index is ours, so updates follow the standard segmented-index protocol:
+
+- a changed/new page gets a fresh doc_id in a NEW delta segment
+  (``reindex_changed``: base_doc_id continues past the base segment's
+  high id — disjoint ranges are the merge invariant);
+- the superseded doc_ids are tombstoned in the base segment
+  (``tombstones/`` parquet — the Lucene liveDocs analog). Queries skip
+  tombstoned docs at evaluation time (query/bmw.py); corpus stats stay
+  slightly stale until a merge, exactly as in Lucene;
+- the next ``merge_segments``/``hierarchical_merge`` compacts: dead
+  postings dropped during re-blocking, stats recomputed from live docs,
+  tombstones gone. A merged segment is bit-for-bit a normal segment.
+
+``topk_segments`` queries several segments BEFORE a merge with combined
+statistics (union dictionary, doc-weighted avgdl, union tombstones) — the
+serving path while deltas accumulate.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..query.bmw import _topk_impl, load_tombstones
+from .build import build_index, read_manifest
+
+
+def reindex_changed(
+    spark: SparkSession,
+    base_dir: str,
+    changed_pages: DataFrame,
+    delta_dir: str,
+    **build_kwargs,
+) -> dict:
+    """Tombstone superseded docs in ``base_dir`` and build a delta segment
+    for ``changed_pages`` (changed AND brand-new urls) at ``delta_dir``.
+
+    Returns the delta manifest. The base segment is modified only by
+    appending tombstone rows (idempotent at the query level — duplicate
+    tombstones are harmless).
+    """
+    man = read_manifest(base_dir)
+    base_docs = spark.read.parquet(f"{base_dir}/docs")
+    changed_urls = changed_pages.select("url").distinct()
+    dead = base_docs.join(F.broadcast(changed_urls), "url", "left_semi").select(
+        "doc_id", "doclen"
+    )
+    dead.write.mode("append").parquet(f"{base_dir}/tombstones")
+
+    build_kwargs.setdefault("num_buckets", man["num_buckets"])
+    build_kwargs.setdefault("block_size", man.get("block_size", 128))
+    build_kwargs.setdefault("analyzer", man.get("analyzer", "default"))
+    return build_index(
+        spark,
+        changed_pages,
+        delta_dir,
+        base_doc_id=man["doc_id_hi"] + 1,
+        **build_kwargs,
+    )
+
+
+def topk_segments(
+    spark: SparkSession,
+    seg_dirs: list[str],
+    query: str,
+    k: int = 10,
+    shard_range: int = 1 << 17,
+) -> DataFrame:
+    """BM25 top-k across several segments (pre-merge serving path).
+
+    Statistics are combined across segments: N and avgdl from live docs,
+    df summed from the union dictionary. Tombstoned docs are excluded from
+    results; their residual contribution to df (until the next merge
+    compacts them) matches standard segmented-index behavior.
+    """
+    mans = [read_manifest(d) for d in seg_dirs]
+    num_buckets = {m["num_buckets"] for m in mans}
+    analyzers = {m.get("analyzer", "default") for m in mans}
+    if len(num_buckets) != 1 or len(analyzers) != 1:
+        raise ValueError("segments disagree on num_buckets/analyzer")
+
+    dead = frozenset().union(*[load_tombstones(spark, d) for d in seg_dirs])
+    # live-doc stats: tombstones carry doclen, so the correction is exact
+    n_total = sum(m["n_docs"] for m in mans)
+    tok_total = sum(m["n_docs"] * m["avgdl"] for m in mans)
+    dead_tok = 0
+    for d in seg_dirs:
+        import os
+
+        if os.path.exists(f"{d}/tombstones"):
+            row = (
+                spark.read.parquet(f"{d}/tombstones")
+                .agg(F.count("*").alias("n"), F.sum("doclen").alias("tok"))
+                .collect()[0]
+            )
+            n_total -= int(row["n"] or 0)
+            dead_tok += int(row["tok"] or 0)
+    avgdl = (tok_total - dead_tok) / n_total if n_total else 1.0
+
+    man = {
+        "num_buckets": num_buckets.pop(),
+        "n_docs": n_total,
+        "avgdl": avgdl,
+        "analyzer": analyzers.pop(),
+    }
+
+    def _union(frames):
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
+
+    dictionary = _union(
+        [spark.read.parquet(f"{d}/dictionary") for d in seg_dirs]
+    ).groupBy("term", "bucket").agg(
+        F.sum("df").alias("df"),
+        F.sum("cf").alias("cf"),
+        F.sum("n_blocks").alias("n_blocks"),
+        F.max("max_tf_norm").alias("max_tf_norm"),
+    )
+    postings = _union([spark.read.parquet(f"{d}/postings") for d in seg_dirs])
+    return _topk_impl(
+        spark, man, dictionary, postings, query, k, shard_range, dead=dead
+    )

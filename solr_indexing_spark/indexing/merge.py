@@ -41,7 +41,16 @@ from ..codec import delta_decode, vbyte_decode, vbyte_encode
 from .build import POSTINGS_SCHEMA, read_manifest, tf_norm, _term_bucket_py
 
 
-def _make_reblocker(avgdl: float, num_buckets: int, block_size: int):
+def _make_reblocker(
+    avgdl: float,
+    num_buckets: int,
+    block_size: int,
+    dead_ids: np.ndarray | None = None,
+):
+    """``dead_ids``: sorted tombstoned doc_ids — their postings are dropped
+    during re-blocking, which is how a merge compacts deletes away
+    (Lucene-style: tombstones live only until the next merge)."""
+
     def reblock(pdf: pd.DataFrame) -> pd.DataFrame:
         t0 = time.monotonic_ns()
         term = pdf["term"].iloc[0]
@@ -56,6 +65,22 @@ def _make_reblocker(avgdl: float, num_buckets: int, block_size: int):
         dls = np.concatenate(dls_l).astype(np.int64)
         order = np.argsort(ids, kind="stable")
         ids, tfs, dls = ids[order].astype(np.int64), tfs[order], dls[order]
+        if dead_ids is not None and len(dead_ids):
+            pos = np.searchsorted(dead_ids, ids)
+            pos[pos >= len(dead_ids)] = len(dead_ids) - 1
+            alive = dead_ids[pos] != ids
+            ids, tfs, dls = ids[alive], tfs[alive], dls[alive]
+            if not len(ids):
+                return pd.DataFrame(
+                    columns=[f.name for f in POSTINGS_SCHEMA.fields]
+                ).astype(
+                    {
+                        "bucket": "int32", "block_id": "int32",
+                        "first_doc_id": "int64", "last_doc_id": "int64",
+                        "n_docs": "int32", "block_max_tf_norm": "float64",
+                        "sum_tf": "int64", "build_us": "int64",
+                    }
+                )
         norms = tf_norm(tfs, dls.astype(np.float64), avgdl)
         bucket = _term_bucket_py(term, num_buckets)
         rows = []
@@ -98,15 +123,32 @@ def merge_segments(
     num_buckets = num_buckets or manifests[0]["num_buckets"]
     block_size = block_size or manifests[0].get("block_size", BLOCK_SIZE)
 
-    stats = [spark.read.parquet(f"{d}/stats").collect()[0] for d in seg_dirs]
-    n_docs = sum(s["n_docs"] for s in stats)
-    total_tokens = sum(s["total_tokens"] for s in stats)
-    avgdl = total_tokens / n_docs if n_docs else 1.0
-
     os.makedirs(out_dir, exist_ok=True)
-    # docs: plain union (disjoint ids)
+
+    # tombstones of every input: compacted away by this merge
+    tomb_dirs = [d for d in seg_dirs if os.path.exists(f"{d}/tombstones")]
+    dead_ids: np.ndarray | None = None
     docs = spark.read.parquet(*[f"{d}/docs" for d in seg_dirs])
+    if tomb_dirs:
+        tomb = (
+            spark.read.parquet(*[f"{d}/tombstones" for d in tomb_dirs])
+            .select("doc_id")
+            .distinct()
+        )
+        dead_ids = np.array(
+            sorted(r["doc_id"] for r in tomb.collect()), dtype=np.int64
+        )
+        docs = docs.join(tomb, "doc_id", "left_anti")
+
+    # docs: union of disjoint id ranges minus tombstones
     docs.write.mode("overwrite").parquet(f"{out_dir}/docs")
+    docs_r = spark.read.parquet(f"{out_dir}/docs")
+    st = docs_r.agg(
+        F.count("*").alias("n"), F.sum("doclen").alias("tok")
+    ).collect()[0]
+    n_docs = int(st["n"] or 0)
+    total_tokens = int(st["tok"] or 0)
+    avgdl = total_tokens / n_docs if n_docs else 1.0
 
     # each segment's postings root is independently bucket-partitioned —
     # read separately and union (a single multi-root read conflicts on
@@ -121,7 +163,7 @@ def merge_segments(
     blocks_in = blocks_in.withColumn(
         "merge_shard", (F.col("first_doc_id") / merge_shard_range).cast("long")
     )
-    reblocker = _make_reblocker(avgdl, num_buckets, block_size)
+    reblocker = _make_reblocker(avgdl, num_buckets, block_size, dead_ids)
     merged = blocks_in.groupBy("term", "merge_shard").applyInPandas(
         reblocker, POSTINGS_SCHEMA
     )

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import heapq
 import math
+import os
 
 import numpy as np
 import pandas as pd
@@ -32,7 +33,7 @@ from pyspark.sql import types as T
 from .. import B, K1
 from ..codec import delta_decode, vbyte_decode
 from ..indexing.build import read_manifest, _term_bucket_py
-from ..textprep import tokenize_str
+from ..textprep import ANALYZERS, tokenize_str  # noqa: F401 (tokenize_str re-exported)
 
 _INF = (1 << 62)
 
@@ -105,9 +106,16 @@ class _TermCursor:
 
 
 def bmw_shard_topk(
-    cursors: list[_TermCursor], k: int, avgdl: float
+    cursors: list[_TermCursor],
+    k: int,
+    avgdl: float,
+    dead: frozenset = frozenset(),
 ) -> list[tuple[int, float]]:
-    """Exact top-k within one shard via block-max WAND."""
+    """Exact top-k within one shard via block-max WAND.
+
+    ``dead``: tombstoned doc_ids (partial re-index, Lucene-liveDocs style)
+    — skipped at evaluation time so they can never displace a live doc
+    from the shard's local top-k."""
     cursors = [c for c in cursors if c.cur < _INF]
     heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap
     while cursors:
@@ -148,12 +156,13 @@ def bmw_shard_topk(
             # all terms ≤ pivot aligned: full evaluation; fsum makes the
             # accumulation order-insensitive (exact summation)
             contributors = [c for c in cursors if c.cur == pivot_doc]
-            score = math.fsum(c.score_cur(avgdl) for c in contributors)
-            item = (score, -pivot_doc)
-            if len(heap) < k:
-                heapq.heappush(heap, item)
-            elif item > heap[0]:
-                heapq.heapreplace(heap, item)
+            if pivot_doc not in dead:
+                score = math.fsum(c.score_cur(avgdl) for c in contributors)
+                item = (score, -pivot_doc)
+                if len(heap) < k:
+                    heapq.heappush(heap, item)
+                elif item > heap[0]:
+                    heapq.heapreplace(heap, item)
             for c in contributors:
                 c.next_geq(pivot_doc + 1)
         else:
@@ -165,6 +174,16 @@ def bmw_shard_topk(
             )
             adv.next_geq(pivot_doc)
     return sorted(((-nd, s) for s, nd in heap), key=lambda t: (-t[1], t[0]))[:k]
+
+
+def load_tombstones(spark: SparkSession, index_dir: str) -> frozenset:
+    """Tombstoned doc_ids of a segment (empty if none). Collected to the
+    driver: tombstone volume is bounded by churn since the last merge
+    (merge compacts them away), the Lucene liveDocs trade-off."""
+    if not os.path.exists(f"{index_dir}/tombstones"):
+        return frozenset()
+    rows = spark.read.parquet(f"{index_dir}/tombstones").select("doc_id").collect()
+    return frozenset(r["doc_id"] for r in rows)
 
 
 class QuerySession:
@@ -190,6 +209,7 @@ class QuerySession:
         self.man = read_manifest(index_dir)
         self.dictionary = spark.read.parquet(f"{index_dir}/dictionary")
         self.postings = spark.read.parquet(f"{index_dir}/postings")
+        self.dead = load_tombstones(spark, index_dir)
         if cache_dictionary:
             self.dictionary = self.dictionary.persist()
         if cache_postings:
@@ -204,7 +224,7 @@ class QuerySession:
     ) -> DataFrame:
         return _topk_impl(
             self.spark, self.man, self.dictionary, self.postings, query, k,
-            shard_range,
+            shard_range, dead=self.dead,
         )
 
 
@@ -233,6 +253,7 @@ def topk(
         query,
         k,
         shard_range,
+        dead=load_tombstones(spark, index_dir),
     )
 
 
@@ -244,11 +265,18 @@ def _topk_impl(
     query: str,
     k: int,
     shard_range: int,
+    dead: frozenset = frozenset(),
 ) -> DataFrame:
     num_buckets = man["num_buckets"]
     n_docs, avgdl = man["n_docs"], man["avgdl"]
 
-    terms = sorted(set(tokenize_str(query)))
+    # query must use the SAME analyzer the segment was built with
+    # (the reference maintains parallel IndexName / IndexNameStopword
+    # indexes, solrIndexCreation.ts:877-880)
+    _, _, query_tokenizer = ANALYZERS.get(
+        man.get("analyzer", "default"), ANALYZERS["default"]
+    )
+    terms = sorted(set(query_tokenizer(query)))
     empty = spark.createDataFrame([], "doc_id long, score double")
     if not terms:
         return empty
@@ -292,13 +320,17 @@ def _topk_impl(
     )
     meta = dict(term_meta)
     kk, rr, avg = k, shard_range, avgdl
+    dead_b = dead
 
     def run_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         shard = int(pdf["shard"].iloc[0])
         lo, hi = shard * rr, (shard + 1) * rr
         cursors = []
         for term, g in pdf.groupby("term", sort=True):
-            g = g.sort_values("block_id", kind="stable")
+            # doc-range order, NOT block_id: block ids restart per segment,
+            # and multi-segment queries (incremental.topk_segments) union
+            # blocks from several segments with disjoint doc ranges
+            g = g.sort_values("first_doc_id", kind="stable")
             blist = [
                 (
                     int(r.first_doc_id),
@@ -315,7 +347,7 @@ def _topk_impl(
             c = _TermCursor(idf, ub, blist, lo, hi)
             if c.cur < _INF:
                 cursors.append(c)
-        results = bmw_shard_topk(cursors, kk, avg)
+        results = bmw_shard_topk(cursors, kk, avg, dead=dead_b)
         return pd.DataFrame(results, columns=["doc_id", "score"])
 
     candidates = blocks.groupBy("shard").applyInPandas(run_shard, out_schema)

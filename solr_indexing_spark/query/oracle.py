@@ -21,15 +21,21 @@ from ..textprep import tokenize_str
 
 
 class OracleIndex:
-    def __init__(self, pages: pd.DataFrame, base_doc_id: int = 0):
-        """pages: DataFrame with url + text columns (synth.gen_pages shape)."""
+    def __init__(
+        self, pages: pd.DataFrame, base_doc_id: int = 0, tokenizer=tokenize_str
+    ):
+        """pages: DataFrame with url + text columns (synth.gen_pages shape).
+
+        ``tokenizer`` selects the analyzer variant (``tokenize_str`` default,
+        ``tokenize_stop_str`` for the stopword index)."""
         ordered = pages.sort_values("url", kind="stable").reset_index(drop=True)
         self.urls = list(ordered["url"])
         self.doc_ids = list(range(base_doc_id, base_doc_id + len(ordered)))
+        self.tokenizer = tokenizer
         self.postings: dict[str, dict[int, int]] = {}
         self.doclen: dict[int, int] = {}
         for doc_id, text in zip(self.doc_ids, ordered["text"]):
-            toks = tokenize_str(text)
+            toks = tokenizer(text)
             self.doclen[doc_id] = len(toks)
             for term, tf in Counter(toks).items():
                 self.postings.setdefault(term, {})[doc_id] = tf
@@ -44,7 +50,7 @@ class OracleIndex:
 
     def score_all(self, query: str) -> dict[int, float]:
         """Full disjunctive BM25 scores for every matching doc."""
-        terms = sorted(set(tokenize_str(query)))
+        terms = sorted(set(self.tokenizer(query)))
         scores: dict[int, float] = {}
         for term in terms:
             plist = self.postings.get(term)

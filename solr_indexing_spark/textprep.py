@@ -186,3 +186,23 @@ def tokenize_stop(text: pd.Series) -> pd.Series:
         .str.findall(TOKEN_RE)
         .map(lambda toks: [t for t in toks if t not in sw])
     )
+
+
+@F.pandas_udf(_TF_STRUCT)
+def tokenize_tf_stop(text: pd.Series) -> pd.Series:
+    """Stopword-analyzer twin of ``tokenize_tf`` (doclen/tf exclude stops)."""
+    from collections import Counter
+
+    sw = STOPWORDS
+    out = []
+    for toks in text.fillna("").str.lower().str.findall(TOKEN_RE):
+        kept = [t for t in toks if t not in sw]
+        out.append(list(Counter(kept).items()) if kept else [])
+    return pd.Series(out)
+
+
+ANALYZERS = {
+    # analyzer name → (tokens UDF, per-doc tf UDF, query-side str tokenizer)
+    "default": (tokenize, tokenize_tf, tokenize_str),
+    "stopword": (tokenize_stop, tokenize_tf_stop, tokenize_stop_str),
+}

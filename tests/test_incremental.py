@@ -1,0 +1,178 @@
+"""Partial re-index: delta segments, tombstones, merge compaction, and the
+dual-analyzer (stopword) index variant."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from solr_indexing_spark.indexing.build import build_index, read_manifest
+from solr_indexing_spark.indexing.incremental import reindex_changed, topk_segments
+from solr_indexing_spark.indexing.merge import hierarchical_merge
+from solr_indexing_spark.query.bmw import QuerySession, topk
+from solr_indexing_spark.query.oracle import OracleIndex
+from solr_indexing_spark.synth import gen_pages, write_pandas_pages
+from solr_indexing_spark.textprep import STOPWORDS, tokenize_stop_str
+
+QUERIES = ["zanpelmek belhax", "tabel rilo", "mekvar sunqua corbel"]
+
+
+@pytest.fixture(scope="module")
+def base(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("incr")
+    pdf = gen_pages(300, seed=3)
+    write_pandas_pages(pdf, str(root / "base.parquet"))
+    pages = spark.read.parquet(str(root / "base.parquet"))
+    build_index(spark, pages, str(root / "seg0"), num_buckets=4)
+    return root, pdf
+
+
+def test_incremental_add_matches_union_oracle(spark, base):
+    """Adding a delta of NEW urls: multi-segment query is rank-identical to
+    the oracle over the union corpus (stats exact — no tombstones)."""
+    root, base_pdf = base
+    add_pdf = gen_pages(360, seed=3).iloc[300:]  # 60 new docs, disjoint urls
+    assert not set(add_pdf["url"]) & set(base_pdf["url"])
+    write_pandas_pages(add_pdf.reset_index(drop=True), str(root / "add.parquet"))
+
+    delta_man = reindex_changed(
+        spark, str(root / "seg0"), spark.read.parquet(str(root / "add.parquet")),
+        str(root / "seg_add"),
+    )
+    base_man = read_manifest(str(root / "seg0"))
+    assert delta_man["doc_id_base"] == base_man["doc_id_hi"] + 1
+
+    union_pdf = pd.concat([base_pdf, add_pdf], ignore_index=True)
+    # oracle ids = rank in url order over the union — map engine ids via url
+    oracle = OracleIndex(union_pdf)
+    url_score = {}
+    segs = [str(root / "seg0"), str(root / "seg_add")]
+    docs = spark.read.parquet(str(root / "seg0") + "/docs").unionByName(
+        spark.read.parquet(str(root / "seg_add") + "/docs")
+    ).select("doc_id", "url")
+    id2url = {r["doc_id"]: r["url"] for r in docs.collect()}
+    for q in QUERIES:
+        got = [
+            (id2url[r["doc_id"]], round(r["score"], 6))
+            for r in topk_segments(spark, segs, q, k=10).collect()
+        ]
+        exp = [
+            (oracle.urls[oracle.doc_ids.index(d)], round(s, 6))
+            for d, s in oracle.topk(q, 10)
+        ]
+        assert got == exp, f"query {q!r}"
+
+
+def test_reindex_changed_tombstones_and_delta(spark, base):
+    root, base_pdf = base
+    # change 20 docs' text (same urls): replant their salt term with new text
+    changed = base_pdf.iloc[40:60].copy().reset_index(drop=True)
+    changed["text"] = [
+        f"updatedcontent{i:04d} fresh replacement body tabel rilo"
+        for i in range(len(changed))
+    ]
+    write_pandas_pages(changed, str(root / "chg.parquet"))
+    reindex_changed(
+        spark, str(root / "seg0"), spark.read.parquet(str(root / "chg.parquet")),
+        str(root / "seg_chg"),
+    )
+    segs = [str(root / "seg0"), str(root / "seg_chg")]
+    base_docs = spark.read.parquet(str(root / "seg0") + "/docs")
+    dead_ids = {
+        r["doc_id"]
+        for r in base_docs.filter(
+            base_docs.url.isin(list(changed["url"]))
+        ).collect()
+    }
+
+    # old content must be gone: the old per-doc salt term hits nothing live
+    old_salt = base_pdf.iloc[41]["text"].split()[-1]  # saltNNNNNNN token
+    hits = topk_segments(spark, segs, old_salt, k=5).collect()
+    assert not hits, f"tombstoned doc still served: {hits}"
+
+    # new content must be found, with a delta-range doc_id
+    hits = topk_segments(spark, segs, "updatedcontent0001", k=5).collect()
+    assert len(hits) == 1
+    assert hits[0]["doc_id"] > read_manifest(str(root / "seg0"))["doc_id_hi"]
+    assert hits[0]["doc_id"] not in dead_ids
+
+
+def test_merge_compacts_tombstones(spark, base, tmp_path_factory):
+    """After the incremental tests above, merging base+deltas must drop dead
+    docs/postings entirely and be rank-identical to a from-scratch oracle
+    over the final corpus."""
+    root, base_pdf = base
+    segs = [str(root / "seg0"), str(root / "seg_add"), str(root / "seg_chg")]
+    merged = hierarchical_merge(
+        spark, segs, str(root / "merged"), fanout=2
+    )
+    man = read_manifest(merged)
+    assert man["n_docs"] == 360  # 300 base - 20 dead + 60 added + 20 changed
+    import os
+
+    assert not os.path.exists(f"{merged}/tombstones")
+
+    # final corpus: base minus the 20 changed originals, plus adds + changes
+    add_pdf = gen_pages(360, seed=3).iloc[300:]
+    changed = base_pdf.iloc[40:60].copy()
+    changed["text"] = [
+        f"updatedcontent{i:04d} fresh replacement body tabel rilo"
+        for i in range(len(changed))
+    ]
+    final_pdf = pd.concat(
+        [base_pdf.drop(base_pdf.index[40:60]), add_pdf, changed],
+        ignore_index=True,
+    )
+    oracle = OracleIndex(final_pdf)
+    id2url = {
+        r["doc_id"]: r["url"]
+        for r in spark.read.parquet(f"{merged}/docs").select("doc_id", "url").collect()
+    }
+    for q in QUERIES + ["updatedcontent0003"]:
+        got = [
+            (id2url[r["doc_id"]], round(r["score"], 6))
+            for r in topk(spark, merged, q, k=10).collect()
+        ]
+        exp = [
+            (oracle.urls[oracle.doc_ids.index(d)], round(s, 6))
+            for d, s in oracle.topk(q, 10)
+        ]
+        # engine doc_ids and oracle doc_ids differ after a merge (updated
+        # docs keep delta-range ids), so equal-score ties at the k-th rank
+        # may legitimately select different members: compare score lists
+        # exactly, and url sets above the boundary score
+        assert len(got) == len(exp)
+        assert [s for _, s in got] == [s for _, s in exp], f"query {q!r}"
+        boundary = got[-1][1]
+        assert {u for u, s in got if s > boundary} == {
+            u for u, s in exp if s > boundary
+        }, f"query {q!r}"
+
+
+def test_stopword_analyzer_variant(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("stopidx")
+    pdf = gen_pages(200, seed=9)
+    # inject stopwords into some docs
+    pdf.loc[:50, "text"] = pdf.loc[:50, "text"] + " the and of to in is that"
+    write_pandas_pages(pdf, str(root / "p.parquet"))
+    pages = spark.read.parquet(str(root / "p.parquet")).select("url", "text", "lang")
+    build_index(spark, pages, str(root / "seg"), num_buckets=4, analyzer="stopword")
+    man = read_manifest(str(root / "seg"))
+    assert man["analyzer"] == "stopword"
+
+    # stopwords never hit
+    assert topk(spark, str(root / "seg"), "the and of", k=5).collect() == []
+    # doclen excludes stopwords (oracle with the stop tokenizer agrees)
+    oracle = OracleIndex(pdf, tokenizer=tokenize_stop_str)
+    qs = QuerySession(spark, str(root / "seg"))
+    for q in ["tabel rilo", "the mekvar and sunqua"]:
+        got = [(r["doc_id"], round(r["score"], 6)) for r in qs.topk(q, k=10).collect()]
+        exp = [(d, round(s, 6)) for d, s in oracle.topk(q, 10)]
+        assert got == exp, f"query {q!r}"
+    # sanity: the stop set itself didn't leak into the dictionary
+    dict_terms = {
+        r["term"]
+        for r in spark.read.parquet(str(root / "seg") + "/dictionary")
+        .select("term").collect()
+    }
+    assert not (dict_terms & STOPWORDS)
