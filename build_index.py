@@ -27,6 +27,10 @@ def main() -> None:
     ap.add_argument("--base-doc-id", type=int, default=0)
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--verify-extraction", action="store_true")
+    ap.add_argument(
+        "--analyzer", choices=["default", "stopword"], default="default",
+        help="tokenizer variant (the reference's IndexName vs IndexNameStopword)",
+    )
     ap.add_argument("--cores", default=None, help="local[N] override for non-cluster runs")
     args = ap.parse_args()
 
@@ -52,6 +56,7 @@ def main() -> None:
         num_partitions=args.partitions,
         base_doc_id=args.base_doc_id,
         verify_extraction=args.verify_extraction,
+        analyzer=args.analyzer,
     )
     print(json.dumps(manifest))
 

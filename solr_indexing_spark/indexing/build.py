@@ -43,6 +43,7 @@ from ..textprep import (
     EXTRACTOR_VERSION,
     TOKENIZER_VERSION,
     extract_text,
+    extract_text_safe,
     tokenize,
     tokenize_tf,
 )
@@ -294,6 +295,32 @@ def build_index(
     t_start = time.monotonic()
     os.makedirs(out_dir, exist_ok=True)
 
+    # ---- dead-letter quarantine (reference: per-row try/catch →
+    # LogErrorId file, common.ts:304-326; here an errors table) ----------
+    # Rows that cannot become documents (failed/empty extraction, null
+    # url) are routed to {out_dir}/errors instead of killing the build.
+    if "text" not in pages.columns:
+        ext = pages.withColumn("_sx", extract_text_safe(F.col("html")))
+        bad = F.col("_sx.error").isNotNull() | F.col("url").isNull()
+        quarantine = ext.filter(bad).select(
+            "url",
+            F.coalesce(F.col("_sx.error"), F.lit("null-url")).alias("reason"),
+        )
+        pages = (
+            ext.filter(~bad)
+            .withColumn("text", F.col("_sx.text"))
+            .drop("_sx")
+        )
+    else:
+        quarantine = pages.filter(F.col("url").isNull()).select(
+            "url", F.lit("null-url").alias("reason")
+        )
+        pages = pages.filter(F.col("url").isNotNull())
+    quarantine.withColumn("stage", F.lit("docprep")).write.mode(
+        "overwrite"
+    ).parquet(f"{out_dir}/errors")
+    n_quarantined = spark.read.parquet(f"{out_dir}/errors").count()
+
     docs = build_docs(
         pages, num_partitions=num_partitions, base_doc_id=base_doc_id,
         verify_extraction=verify_extraction, analyzer=analyzer,
@@ -463,6 +490,7 @@ def build_index(
         "salt_df_threshold": salt_df_threshold,
         "salt_range": salt_range,
         "head_terms_salted": len(head_terms),
+        "quarantined": int(n_quarantined),
         "build_wall_s": round(time.monotonic() - t_start, 3),
         "docs_stage_wall_s": round(docs_wall, 3),
     }

@@ -129,6 +129,41 @@ def extract_text(html: pd.Series) -> pd.Series:
     return html.map(extract_text_str)
 
 
+_SAFE_RESULT = T.StructType(
+    [
+        T.StructField("text", T.StringType(), True),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+
+@F.pandas_udf(_SAFE_RESULT)
+def extract_text_safe(html: pd.Series) -> pd.DataFrame:
+    """Per-row error-captured extraction — the dead-letter path.
+
+    The reference wraps every document in try/catch and appends failing ids
+    to a log file (Common.LogErrorId, common.ts:304-326; call sites e.g.
+    solrIndexCreation.ts:866-871): one bad row must never kill the batch.
+    Here the catch lives inside the Arrow UDF; rows with a non-null
+    ``error`` are routed to a quarantine table instead of the index.
+    """
+    texts, errors = [], []
+    for raw in html:
+        try:
+            t = extract_text_str(raw)
+        except Exception as ex:  # noqa: BLE001 — the whole point
+            texts.append(None)
+            errors.append(f"extract: {type(ex).__name__}: {ex}")
+            continue
+        if not t and raw is not None and len(raw) > 0:
+            texts.append(None)
+            errors.append("extract: empty result from non-empty html")
+        else:
+            texts.append(t)
+            errors.append(None)
+    return pd.DataFrame({"text": texts, "error": errors})
+
+
 @F.pandas_udf(T.ArrayType(T.StringType()))
 def tokenize(text: pd.Series) -> pd.Series:
     return text.fillna("").str.lower().str.findall(TOKEN_RE)
