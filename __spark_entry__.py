@@ -620,6 +620,35 @@ def _ix_dictionary(spark, sf_dir):
     )
 
 
+def _dp_arinfo_parse(spark, sf_dir):
+    """The reference's gnarliest packed grammar ($$ / ^ / | / ## / @@ / ~,
+    solrIndexCreation.ts:4146-4189) parsed with pure Catalyst HOFs over a
+    deterministic packed column synthesized from part names."""
+    from solr_indexing_spark.docprep.grammars import parse_arinfo
+
+    packed = F.concat(
+        F.col("p_partkey").cast("string"), F.lit("|affirmed^"),
+        F.col("p_name"), F.lit("##01-02-2019@@Sub One~"),
+        F.col("p_partkey").cast("string"), F.lit("$$"),
+        (F.col("p_partkey") + 1000000).cast("string"), F.lit("|reversed^"),
+        F.upper(F.col("p_name")), F.lit("##05-12-2021@@Sub Two~"),
+        (F.col("p_partkey") + 1000000).cast("string"),
+    )
+    return (
+        _tbl(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < 200)
+        .select("p_partkey", F.explode(parse_arinfo(packed)).alias("a"))
+        .select(
+            "p_partkey",
+            F.col("a.id").alias("assoc_id"),
+            F.col("a.type").alias("assoc_type"),
+            F.col("a.name").alias("assoc_name"),
+            F.col("a.date").alias("assoc_date"),
+            F.col("a.url").alias("assoc_url"),
+        )
+    )
+
+
 def _mm_features(spark, sf_dir):
     from solr_indexing_spark.multimodal import (
         MEDIA_SCHEMA,
@@ -688,6 +717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_first_wins": _dp_first_wins,
         "dp_concat_agg": _dp_concat_agg,
         "dp_agg_pricing": _dp_agg_pricing,
+        "dp_arinfo_parse": _dp_arinfo_parse,
         # rows-only (non-SQL-expressible machinery)
         "ix_lineage": _ix_lineage,
         "ix_dictionary": _ix_dictionary,
@@ -946,6 +976,19 @@ select o_orderkey, strftime(o_orderdate, '%Y%m%d') as ymd,
        strftime(strptime(strftime(o_orderdate, '%Y%m%d'), '%Y%m%d'),
                 '%Y-%m-%d') as roundtrip
 from orders where o_orderkey < 500
+""",
+        # oracle constructs the expected parse output directly from part —
+        # the packed string is a deterministic function of (p_partkey, p_name)
+        "dp_arinfo_parse": """
+select p_partkey, p_partkey::varchar as assoc_id, 'affirmed' as assoc_type,
+       p_name as assoc_name, '20190201' as assoc_date,
+       replace(trim(lower(p_name)), ' ', '-') as assoc_url
+from part where p_partkey < 200
+union all
+select p_partkey, (p_partkey + 1000000)::varchar, 'reversed',
+       upper(p_name), '20211205',
+       replace(trim(lower(p_name)), ' ', '-')
+from part where p_partkey < 200
 """,
         "dp_citation_variants": """
 select p_partkey, p_name as v_original,

@@ -333,3 +333,118 @@ def parse_marking_info_str(raw: str | None) -> list[dict] | None:
 @F.pandas_udf(MARKING_SCHEMA)
 def parse_marking_info(col: pd.Series) -> pd.Series:
     return col.map(parse_marking_info_str)
+
+
+# --- J2: intra-row semi-join — parent-section override --------------------
+
+
+def _replace_first(col: Column, ch: str, repl: str) -> Column:
+    """JS String.replace(str, str) semantics: first occurrence only."""
+    pos = F.instr(col, ch)
+    return F.when(
+        pos > 0,
+        F.concat(
+            col.substr(F.lit(1), pos - 1),
+            F.lit(repl),
+            col.substr(pos + 1, F.length(col)),
+        ),
+    ).otherwise(col)
+
+
+def parent_section_lookup(
+    actid: Column | str, secid: Column | str, parent_info: Column | str
+) -> Column:
+    """J2 (solrIndexCreation.ts:1184-1200): scan the row's packed
+    ``parentsectioninfo`` ('$'-separated entries) for an entry CONTAINING the
+    section id (substring match, faithful to ``indexOf``); the LAST match
+    wins (the reference's loop keeps overwriting). Returns
+    struct{id, name, ordering, actsectionid} or null when no entry matches —
+    an intra-row left-semi join between two packed arrays, no shuffle.
+
+    Entry shape past its first '#': '#pid|pname^x~ordering'; id strips the
+    leading '#', name/ordering split the second field on '~' after the
+    first '^'→'-' rewrite (first occurrence only, JS replace semantics).
+    """
+    aid, sid, info = _c(actid), _c(secid), _c(parent_info)
+    entries = F.split(info, r"\$")
+    matches = F.filter(
+        entries, lambda e: (F.instr(e, F.trim(sid)) > 0) & (F.trim(sid) != "")
+    )
+    m = F.try_element_at(matches, F.lit(-1))  # last match wins
+    sub = m.substr(F.instr(m, "#"), F.length(m))
+    parts = F.split(sub, r"\|")
+    part0 = F.try_element_at(parts, F.lit(1))
+    part1 = F.try_element_at(parts, F.lit(2))
+    pid = F.trim(_replace_first(part0, "#", " "))
+    p1r = _replace_first(part1, "^", "-")
+    name = F.try_element_at(F.split(p1r, "~"), F.lit(1))
+    ordering = F.try_element_at(F.split(p1r, "~"), F.lit(2))
+    return F.when(
+        m.isNotNull(),
+        F.struct(
+            pid.alias("id"),
+            name.alias("name"),
+            ordering.alias("ordering"),
+            F.concat(F.trim(aid), pid).alias("actsectionid"),
+        ),
+    )
+
+
+# --- F6 gnarly variant: arinfo ($$ / ^ / | / ## / @@ / ~) -----------------
+
+from .scalars import ddmmyyyy_to_yyyymmdd  # noqa: E402
+
+
+def parse_arinfo(col: Column | str) -> Column:
+    """Affirm/reverse associations (solrIndexCreation.ts:4146-4189):
+
+    arinfo = assoc '$$' assoc …
+    assoc  = id '|' type '^' name '##' rest
+    rest   = date '@@' subheading '~' associatedDocid     (date: dd-mm-yyyy)
+
+    → array<struct{id, type, name, date(yyyymmdd), subheading,
+    associatedDocid, url(slug of name)}>. Elements without a '|' in the
+    first field or an empty type are dropped (the reference requires
+    idtype[1]); without '##' the name/date fields degrade to '' exactly as
+    the row loop's ternaries do. Pure Catalyst higher-order functions.
+    """
+    elems = F.filter(
+        F.split(_c(col), r"\$\$"), lambda e: e != ""
+    )
+
+    def build(e: Column):
+        caret = F.split(e, r"\^")
+        first = F.try_element_at(caret, F.lit(1))
+        second = F.try_element_at(caret, F.lit(2))
+        idtype = F.when(F.instr(first, "|") > 0, F.split(first, r"\|"))
+        namedate = F.when(
+            F.instr(second, "##") > 0,
+            F.filter(F.split(second, "##"), lambda x: x != ""),
+        )
+        aid = F.trim(F.try_element_at(idtype, F.lit(1)))
+        atype = F.try_element_at(idtype, F.lit(2))
+        name = F.coalesce(F.try_element_at(namedate, F.lit(1)), F.lit(""))
+        rest = F.try_element_at(namedate, F.lit(2))
+        has_at = F.instr(rest, "@@") > 0
+        atparts = F.filter(F.split(rest, "@@"), lambda x: x != "")
+        date = F.when(
+            has_at, ddmmyyyy_to_yyyymmdd(F.try_element_at(atparts, F.lit(1)))
+        ).otherwise(F.lit(""))
+        tail = F.split(F.try_element_at(atparts, F.lit(2)), "~")
+        sub = F.when(has_at, F.try_element_at(tail, F.lit(1))).otherwise(F.lit(""))
+        docid = F.when(has_at, F.try_element_at(tail, F.lit(2))).otherwise(F.lit(""))
+        return F.struct(
+            aid.alias("id"),
+            atype.alias("type"),
+            name.alias("name"),
+            date.alias("date"),
+            sub.alias("subheading"),
+            docid.alias("associatedDocid"),
+            slugify(F.lower(name)).alias("url"),
+        )
+
+    built = F.transform(elems, build)
+    return F.filter(
+        built,
+        lambda s: s["type"].isNotNull() & (s["type"] != ""),
+    )

@@ -183,3 +183,62 @@ def test_searchboosttext(spark):
         E.searchboosttext("p1", "p2", "appeal", literals={2: "appeal no"}).alias("t")
     ).collect()[0]["t"]
     assert out == "party a vs b appeal no ca 123 2020"
+
+
+# --- J2 parent-section override + arinfo grammar (added later in round) ---
+
+
+def test_parent_section_lookup(spark):
+    from solr_indexing_spark.docprep.grammars import parent_section_lookup
+
+    info = (
+        "junk entry$#P100|Parent Name^x~5$#P200|Other^y~9"
+    )
+    df = spark.createDataFrame(
+        [("A1", "P200", info), ("A1", "NOPE", info), ("A1", "", info)],
+        "actid string, secid string, pinfo string",
+    )
+    rows = df.select(
+        parent_section_lookup("actid", "secid", "pinfo").alias("o")
+    ).collect()
+    o = rows[0]["o"]
+    assert o["id"] == "P200"
+    assert o["name"] == "Other-y"  # first '^' → '-', then '~' split
+    assert o["ordering"] == "9"
+    assert o["actsectionid"] == "A1P200"
+    assert rows[1]["o"] is None
+    assert rows[2]["o"] is None  # empty secid never matches
+
+
+def test_parent_section_last_match_wins(spark):
+    from solr_indexing_spark.docprep.grammars import parent_section_lookup
+
+    info = "#P1|First^a~1 S9$#P2|Second^b~2 S9"
+    df = spark.createDataFrame([("A", "S9", info)], "actid string, secid string, pinfo string")
+    o = df.select(parent_section_lookup("actid", "secid", "pinfo").alias("o")).collect()[0]["o"]
+    assert o["id"].startswith("P2")
+
+
+def test_parse_arinfo(spark):
+    from solr_indexing_spark.docprep.grammars import parse_arinfo
+
+    raw = (
+        "123|affirmed^Case One Name##01-02-2019@@Sub Head~900$$"
+        "456|reversed^Case Two##@@only-sub~901$$"
+        "789justtype^No Pipe Here##02-03-2020@@x~902$$"
+        "321|partial^NameOnly"
+    )
+    df = spark.createDataFrame([(raw,)], "arinfo string")
+    arr = df.select(parse_arinfo("arinfo").alias("a")).collect()[0]["a"]
+    # element 3 dropped (no '|' in first field); element 4 kept (no '##' →
+    # empty name/date); order preserved
+    assert len(arr) == 3
+    a0 = arr[0]
+    assert (a0["id"], a0["type"], a0["name"]) == ("123", "affirmed", "Case One Name")
+    assert a0["date"] == "20190201"
+    assert a0["subheading"] == "Sub Head"
+    assert a0["associatedDocid"] == "900"
+    assert a0["url"] == "case-one-name"
+    a2 = arr[2]
+    assert (a2["id"], a2["type"]) == ("321", "partial")
+    assert a2["name"] == "" and a2["date"] == ""
