@@ -257,6 +257,31 @@ def _ft_bm25_multi(spark, sf_dir):
     return out.select("query_id", "doc_id", "score")
 
 
+def _ft_prefix_search(spark, sf_dir):
+    """Prefix (multi-term) BM25: dictionary expansion → block-max WAND —
+    the Lucene multi-term-query rewrite. Oracle expands via LIKE."""
+    from solr_indexing_spark.query.bmw import topk_prefix
+
+    idx = _index_dir(spark, sf_dir)
+    return topk_prefix(spark, idx, "sc", k=10, max_terms=10_000).select(
+        "doc_id", F.round("score", 4).alias("score")
+    )
+
+
+def _ft_suggest_complete(spark, sf_dir):
+    """Weighted prefix completion over a Suggest-style table built from
+    documents metadata (source weight 20, lang weight 8)."""
+    from solr_indexing_spark.query.completion import complete
+
+    docs = _docs(spark, sf_dir)
+    comp = docs.select(
+        F.col("source").alias("input"), F.lit(20).alias("weight")
+    ).unionByName(
+        docs.select(F.col("lang").alias("input"), F.lit(8).alias("weight"))
+    )
+    return complete(comp, "src1", k=10)
+
+
 def _ft_bm25_bmw(spark, sf_dir):
     """The compressed-segment block-max WAND path, checked against the same
     SQL BM25 oracle as the brute path — the rank-identity gate."""
@@ -688,6 +713,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bm25_topk": _ft_bm25_topk,
         "ft_bm25_multi": _ft_bm25_multi,
         "ft_bm25_bmw": _ft_bm25_bmw,
+        "ft_prefix_search": _ft_prefix_search,
+        "ft_suggest_complete": _ft_suggest_complete,
         # text analysis
         "ta_token_counts": _ta_token_counts,
         "ta_quality": _ta_quality,
@@ -849,6 +876,33 @@ from dft group by 1
         "ft_bm25_topk": _bm25_sql(FT_QUERY.split(), 10),
         "ft_bm25_multi": multi,
         "ft_bm25_bmw": _bm25_sql(FT_QUERY.split(), 10),
+        # prefix expansion: q = every corpus term starting with 'sc'
+        "ft_prefix_search": f"""
+with toks as ({_TOKS}),
+dl as (select doc_id, count(*) as doclen from toks group by doc_id),
+stats as (select count(*) as n, avg(doclen) as avgdl from dl),
+q as (select distinct term from toks where term like 'sc%'),
+tf as (select t.term, t.doc_id, count(*) as tf
+       from toks t join q using(term) group by 1, 2),
+df as (select term, count(*) as df from tf group by 1),
+w as (select tf.doc_id,
+             ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * 2.2
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.doclen / s.avgdl)) as w
+      from tf join df using(term) join dl using(doc_id) cross join stats s)
+select doc_id, round(sum(w), 4) as score
+from w group by doc_id
+order by sum(w) desc, doc_id asc limit 10
+""",
+        "ft_suggest_complete": """
+with comp as (
+  select source as input, 20 as weight from documents
+  union all
+  select lang as input, 8 as weight from documents)
+select input, max(weight) as weight from comp
+where lower(input) like 'src1%'
+group by input order by weight desc, input asc limit 10
+""",
         "ta_token_counts": f"""
 select doc_id,
   len(regexp_extract_all(lower(text), {qm})) as n_tokens,

@@ -272,11 +272,15 @@ def _topk_impl(
 
     # query must use the SAME analyzer the segment was built with
     # (the reference maintains parallel IndexName / IndexNameStopword
-    # indexes, solrIndexCreation.ts:877-880)
-    _, _, query_tokenizer = ANALYZERS.get(
-        man.get("analyzer", "default"), ANALYZERS["default"]
-    )
-    terms = sorted(set(query_tokenizer(query)))
+    # indexes, solrIndexCreation.ts:877-880). A pre-expanded term list
+    # (prefix/wildcard queries) bypasses tokenization.
+    if isinstance(query, (list, tuple, set, frozenset)):
+        terms = sorted(set(query))
+    else:
+        _, _, query_tokenizer = ANALYZERS.get(
+            man.get("analyzer", "default"), ANALYZERS["default"]
+        )
+        terms = sorted(set(query_tokenizer(query)))
     empty = spark.createDataFrame([], "doc_id long, score double")
     if not terms:
         return empty
@@ -352,3 +356,38 @@ def _topk_impl(
 
     candidates = blocks.groupBy("shard").applyInPandas(run_shard, out_schema)
     return candidates.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def expand_prefix(
+    spark: SparkSession, index_dir: str, prefix: str, max_terms: int = 64
+) -> list[str]:
+    """Dictionary terms starting with ``prefix``, highest-df first (the
+    standard wildcard-expansion budget: cap the OR fan-out at the most
+    selective-by-mass terms). Dictionary scan only — postings untouched."""
+    rows = (
+        spark.read.parquet(f"{index_dir}/dictionary")
+        .filter(F.col("term").startswith(prefix.lower()))
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(max_terms)
+        .collect()
+    )
+    return [r["term"] for r in rows]
+
+
+def topk_prefix(
+    spark: SparkSession,
+    index_dir: str,
+    prefix: str,
+    k: int = 10,
+    max_terms: int = 64,
+    shard_range: int = 1 << 17,
+) -> DataFrame:
+    """BM25 top-k for a prefix query (``pre*``): expand against the
+    dictionary, then run the expanded OR-query through block-max WAND —
+    the Solr/Lucene multi-term-query rewrite, Spark-side."""
+    terms = expand_prefix(spark, index_dir, prefix, max_terms)
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    return topk(spark, index_dir, terms, k=k, shard_range=shard_range)

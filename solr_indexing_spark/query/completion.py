@@ -1,0 +1,68 @@
+"""Weighted prefix completion (the reference's Suggest field, served).
+
+The reference builds weighted completion entries per document
+(``Suggest[]: {Input: string[], Weight}``, indexDocument.ts:106-109; weights
+per kind at solrIndexCreation.ts:321-2091 — re-expressed in
+docprep/enrich.py) and lets Solr's suggester serve them. Here the serving
+side is a DataFrame operator over a completion table:
+
+    completion(input: string, weight: int [, payload…])
+
+Layout for scale: the table is written range-sorted by ``input`` so a
+prefix filter prunes parquet row groups via min/max stats — a prefix query
+reads only the files whose [min,max] range can contain the prefix.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def flatten_suggests(df: DataFrame, suggest_col: str = "Suggest") -> DataFrame:
+    """docs with a Suggest[] column → (input, weight) rows (one per Input
+    string of each CompletionField)."""
+    return (
+        df.select(F.explode(suggest_col).alias("s"))
+        .select(F.explode("s.Input").alias("input"), F.col("s.Weight").alias("weight"))
+        .filter(F.col("input").isNotNull() & (F.trim(F.col("input")) != ""))
+    )
+
+
+def build_completion_index(
+    completion: DataFrame, out_dir: str, num_files: int | None = None
+) -> None:
+    """Write the completion table range-sorted by input (row-group pruning
+    for prefix scans). Duplicate inputs keep their max weight."""
+    deduped = completion.groupBy("input").agg(F.max("weight").alias("weight"))
+    n = num_files or completion.sparkSession.sparkContext.defaultParallelism
+    deduped.repartitionByRange(n, "input").sortWithinPartitions("input").write.mode(
+        "overwrite"
+    ).parquet(out_dir)
+
+
+def complete(
+    source: DataFrame, prefix: str, k: int = 10
+) -> DataFrame:
+    """Top-k completions for a prefix: (input, weight) by
+    (weight desc, input asc) — deterministic. ``source`` is the completion
+    table (read from ``build_completion_index`` output or built inline).
+
+    The ``startswith`` filter compiles to parquet min/max row-group pruning
+    on the sorted layout; the aggregation is partial+final over only the
+    matching rows.
+    """
+    p = prefix.lower()
+    return (
+        source.filter(F.lower(F.col("input")).startswith(p))
+        .groupBy("input")
+        .agg(F.max("weight").alias("weight"))
+        .orderBy(F.desc("weight"), F.asc("input"))
+        .limit(k)
+    )
+
+
+def complete_dir(
+    spark: SparkSession, index_dir: str, prefix: str, k: int = 10
+) -> DataFrame:
+    return complete(spark.read.parquet(index_dir), prefix, k)

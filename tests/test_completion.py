@@ -1,0 +1,99 @@
+"""Suggest/completion serving + prefix (multi-term) BM25 queries."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from solr_indexing_spark.docprep.enrich import suggest_array, suggest_entry
+from solr_indexing_spark.indexing.build import build_index
+from solr_indexing_spark.query.bmw import expand_prefix, topk, topk_prefix
+from solr_indexing_spark.query.completion import (
+    build_completion_index,
+    complete,
+    complete_dir,
+    flatten_suggests,
+)
+from solr_indexing_spark.query.oracle import OracleIndex
+from solr_indexing_spark.synth import gen_pages, write_pandas_pages
+
+
+def test_flatten_and_complete(spark):
+    df = spark.createDataFrame(
+        [("Income Tax Act", "Supreme Court"), ("Finance Act", "High Court")],
+        "act string, court string",
+    ).select(
+        suggest_array(
+            suggest_entry(F.array(F.col("act")), "act"),
+            suggest_entry(F.array(F.col("court")), "court"),
+        ).alias("Suggest")
+    )
+    comp = flatten_suggests(df)
+    rows = {(r["input"], r["weight"]) for r in comp.collect()}
+    assert ("Income Tax Act", 20) in rows and ("Supreme Court", 12) in rows
+
+    got = complete(comp, "in", k=5).collect()
+    assert [r["input"] for r in got] == ["Income Tax Act"]
+    assert got[0]["weight"] == 20
+
+
+def test_completion_index_roundtrip(spark, tmp_path):
+    comp = spark.createDataFrame(
+        [("alpha", 5), ("alphabet", 20), ("alpine", 8), ("beta", 9),
+         ("alpha", 12)],
+        "input string, weight int",
+    )
+    out = str(tmp_path / "comp")
+    build_completion_index(comp, out, num_files=2)
+    got = [(r["input"], r["weight"]) for r in complete_dir(spark, out, "alp", k=10).collect()]
+    # weight desc, input asc; duplicate 'alpha' keeps max weight 12
+    assert got == [("alphabet", 20), ("alpha", 12), ("alpine", 8)]
+    assert complete_dir(spark, out, "zzz").collect() == []
+
+
+@pytest.fixture(scope="module")
+def small_index(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("pfx")
+    pdf = gen_pages(400, seed=11)
+    write_pandas_pages(pdf, str(root / "p.parquet"))
+    build_index(
+        spark, spark.read.parquet(str(root / "p.parquet")), str(root / "idx"),
+        num_buckets=4,
+    )
+    return str(root / "idx"), pdf
+
+
+def test_expand_prefix(spark, small_index):
+    idx, _ = small_index
+    terms = expand_prefix(spark, idx, "ta", max_terms=1000)
+    assert terms and all(t.startswith("ta") for t in terms)
+    # df-descending order
+    dict_df = {
+        r["term"]: r["df"]
+        for r in spark.read.parquet(f"{idx}/dictionary").collect()
+    }
+    dfs = [dict_df[t] for t in terms]
+    assert dfs == sorted(dfs, reverse=True)
+    assert expand_prefix(spark, idx, "zzzznope") == []
+
+
+def test_topk_prefix_matches_oracle(spark, small_index):
+    idx, pdf = small_index
+    oracle = OracleIndex(pdf)
+    terms = expand_prefix(spark, idx, "mek", max_terms=10_000)
+    exp = oracle.topk(" ".join(terms), 10)
+    got = [
+        (r["doc_id"], r["score"])
+        for r in topk_prefix(spark, idx, "mek", k=10, max_terms=10_000).collect()
+    ]
+    assert [d for d, _ in got] == [d for d, _ in exp]
+    for (_, gs), (_, es) in zip(got, exp):
+        assert abs(gs - es) < 1e-6
+
+
+def test_topk_accepts_term_list(spark, small_index):
+    idx, pdf = small_index
+    oracle = OracleIndex(pdf)
+    got = [(r["doc_id"], r["score"]) for r in topk(spark, idx, ["tabel", "rilo"], k=5).collect()]
+    exp = oracle.topk("tabel rilo", 5)
+    assert [d for d, _ in got] == [d for d, _ in exp]
