@@ -111,6 +111,33 @@ def main() -> None:
         lambda: entry._bm25_brute(spark, sf_dir, entry.FT_QUERY.split(), 10).collect(),
     )
 
+    # --- phrase / prefix / completion ------------------------------------
+    idx_pos = f"{work}/idx_pos"
+    timed(
+        "q_index_build_positional",
+        lambda: build_index(
+            spark, pages, idx_pos, num_buckets=8, store_positions=True
+        ),
+    )
+    from solr_indexing_spark.query.phrase import phrase_topk
+
+    phrase_topk(spark, idx_pos, "hash join", k=10).collect()  # warm
+    t0 = time.monotonic()
+    for ph in ["hash join", "query data", "fast scan"]:
+        phrase_topk(spark, idx_pos, ph, k=10).collect()
+    timings["q_phrase"] = round(time.monotonic() - t0, 3)
+
+    from solr_indexing_spark.query.bmw import topk_prefix
+
+    timed("q_prefix", lambda: topk_prefix(spark, idx, "sc", k=10).collect())
+
+    from solr_indexing_spark.query.completion import complete
+
+    comp = docs.select(
+        F.col("source").alias("input"), F.lit(20).alias("weight")
+    )
+    timed("q_completion", lambda: complete(comp, "src1", k=10).collect())
+
     # --- dedup suite -----------------------------------------------------
     timed("q_exact_dedup", lambda: exact_dedup(docs).count())
     timed("q_minhash_dedup", lambda: minhash_near_dups(docs, threshold=0.5).count())

@@ -47,34 +47,34 @@ def _make_reblocker(
     block_size: int,
     dead_ids: np.ndarray | None = None,
 ):
-    """``dead_ids``: sorted tombstoned doc_ids — their postings are dropped
+    """Streaming (mapInPandas) re-blocker over a partition hash-partitioned
+    by (term, merge_shard) and sorted by (term, merge_shard, first_doc_id).
+
+    Same rationale as the build's block builder: one group per distinct
+    term — millions of tiny groups at corpus scale — so per-GROUP
+    applyInPandas overhead would dominate; here each Python call walks all
+    groups of an Arrow batch, and a group straddling batches is carried
+    over in a list flushed once per flush (O(rows), never O(batches²)).
+
+    ``dead_ids``: sorted tombstoned doc_ids — their postings are dropped
     during re-blocking, which is how a merge compacts deletes away
     (Lucene-style: tombstones live only until the next merge)."""
 
-    empty = pd.DataFrame(
-        columns=[f.name for f in POSTINGS_SCHEMA.fields]
-    ).astype(
-        {
-            "bucket": "int32", "block_id": "int32",
-            "first_doc_id": "int64", "last_doc_id": "int64",
-            "n_docs": "int32", "block_max_tf_norm": "float64",
-            "sum_tf": "int64", "build_us": "int64",
-        }
-    )
+    cols = [f.name for f in POSTINGS_SCHEMA.fields]
 
-    def reblock(pdf: pd.DataFrame) -> pd.DataFrame:
-        t0 = time.monotonic_ns()
-        term = pdf["term"].iloc[0]
-        shard = int(pdf["merge_shard"].iloc[0])
-        has_pos = any(len(b) for b in pdf["pos_counts"])
+    def reblock_group(
+        term: str, shard: int, grows: list, has_pos: bool, t0: int
+    ) -> list[tuple]:
+        """grows: list of (first_doc_id, n_docs, doc_gaps, tfs, doclens,
+        positions, pos_counts) block tuples of ONE (term, shard) group."""
         ids_l, tfs_l, dls_l, pos_l = [], [], [], []
-        for r in pdf.itertuples():
-            ids_l.append(delta_decode(r.first_doc_id, bytes(r.doc_gaps), r.n_docs))
-            tfs_l.append(vbyte_decode(bytes(r.tfs)))
-            dls_l.append(vbyte_decode(bytes(r.doclens)))
+        for first, nd, gaps, tfb, dlb, posb, cntb in grows:
+            ids_l.append(delta_decode(first, gaps, nd))
+            tfs_l.append(vbyte_decode(tfb))
+            dls_l.append(vbyte_decode(dlb))
             if has_pos:
-                cnts = vbyte_decode(bytes(r.pos_counts)).astype(np.int64)
-                flat = vbyte_decode(bytes(r.positions)).astype(np.int64)
+                cnts = vbyte_decode(cntb).astype(np.int64)
+                flat = vbyte_decode(posb).astype(np.int64)
                 # undo in-posting delta: cumsum with resets at posting starts
                 if len(flat):
                     c = np.cumsum(flat)
@@ -99,7 +99,7 @@ def _make_reblocker(
             if has_pos:
                 pos_arr = pos_arr[alive]
             if not len(ids):
-                return empty
+                return []
         norms = tf_norm(tfs, dls.astype(np.float64), avgdl)
         bucket = _term_bucket_py(term, num_buckets)
         rows = []
@@ -148,9 +148,70 @@ def _make_reblocker(
                     cnt_bytes,
                 )
             )
-        return pd.DataFrame(rows, columns=[f.name for f in POSTINGS_SCHEMA.fields])
+        return rows
 
-    return reblock
+    def reblock_many(pdf: pd.DataFrame) -> pd.DataFrame:
+        t0 = time.monotonic_ns()
+        terms = pdf["term"].to_numpy()
+        shards = pdf["merge_shard"].to_numpy().astype(np.int64)
+        n = len(pdf)
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        change[1:] = (terms[1:] != terms[:-1]) | (shards[1:] != shards[:-1])
+        gstarts = np.flatnonzero(change)
+        gends = np.append(gstarts[1:], n)
+        firsts = pdf["first_doc_id"].to_numpy()
+        nds = pdf["n_docs"].to_numpy()
+        gaps_c = pdf["doc_gaps"].to_numpy()
+        tfs_c = pdf["tfs"].to_numpy()
+        dls_c = pdf["doclens"].to_numpy()
+        pos_c = pdf["positions"].to_numpy()
+        cnt_c = pdf["pos_counts"].to_numpy()
+        rows: list[tuple] = []
+        for s, e in zip(gstarts, gends):
+            grows = [
+                (
+                    int(firsts[i]), int(nds[i]), bytes(gaps_c[i]),
+                    bytes(tfs_c[i]), bytes(dls_c[i]), bytes(pos_c[i]),
+                    bytes(cnt_c[i]),
+                )
+                for i in range(s, e)
+            ]
+            has_pos = any(len(g[6]) for g in grows)
+            rows.extend(
+                reblock_group(terms[s], int(shards[s]), grows, has_pos, t0)
+            )
+        return pd.DataFrame(rows, columns=cols)
+
+    def stream(batches):
+        pending: list[pd.DataFrame] = []
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            last_term = pdf["term"].iloc[-1]
+            last_shard = pdf["merge_shard"].iloc[-1]
+            tail = (pdf["term"] == last_term) & (pdf["merge_shard"] == last_shard)
+            not_tail = np.flatnonzero(~tail.to_numpy())
+            split = int(not_tail[-1]) + 1 if len(not_tail) else 0
+            if split == 0:
+                pending.append(pdf)
+                continue
+            head, tail_df = pdf.iloc[:split], pdf.iloc[split:]
+            if pending:
+                head = pd.concat(pending + [head], ignore_index=True)
+                pending = []
+            yield reblock_many(head)
+            pending = [tail_df]
+        if pending:
+            rest = (
+                pd.concat(pending, ignore_index=True)
+                if len(pending) > 1
+                else pending[0]
+            )
+            if len(rest):
+                yield reblock_many(rest)
+
+    return stream
 
 
 def merge_segments(
@@ -208,8 +269,10 @@ def merge_segments(
         "merge_shard", (F.col("first_doc_id") / merge_shard_range).cast("long")
     )
     reblocker = _make_reblocker(avgdl, num_buckets, block_size, dead_ids)
-    merged = blocks_in.groupBy("term", "merge_shard").applyInPandas(
-        reblocker, POSTINGS_SCHEMA
+    merged = (
+        blocks_in.repartition("term", "merge_shard")
+        .sortWithinPartitions("term", "merge_shard", "first_doc_id")
+        .mapInPandas(reblocker, POSTINGS_SCHEMA)
     )
     merged.write.mode("overwrite").partitionBy("bucket").parquet(
         f"{out_dir}/postings"
