@@ -417,16 +417,20 @@ def build_index(
     # docs-side join when computing block-max norms. NO tf groupBy shuffle:
     # residual reduction happens inside the term-partitioned sort below, so
     # the whole posting path is ONE exchange of the stream.
+    # doclen rides as int (doc lengths are << 2^31): the exchange below
+    # streams the whole token table — narrower rows = less memory-bus and
+    # shuffle traffic, which profiling shows is this stage's ceiling
+    dl_int = F.col("doclen").cast("int").alias("doclen")
     if store_positions:
         exploded = docs_r.select(
-            "doc_id", "doclen", F.explode(tfpos_udf(F.col("text"))).alias("e")
+            "doc_id", dl_int, F.explode(tfpos_udf(F.col("text"))).alias("e")
         ).select(
             "doc_id", "doclen", F.col("e.term").alias("term"),
             F.col("e.tf").alias("tf"), F.col("e.positions").alias("positions"),
         )
     else:
         exploded = docs_r.select(
-            "doc_id", "doclen", F.explode(tf_udf(F.col("text"))).alias("e")
+            "doc_id", dl_int, F.explode(tf_udf(F.col("text"))).alias("e")
         ).select(
             "doc_id", "doclen", F.col("e.term").alias("term"),
             F.col("e.tf").alias("tf"),
