@@ -391,3 +391,41 @@ def topk_prefix(
     if not terms:
         return spark.createDataFrame([], "doc_id long, score double")
     return topk(spark, index_dir, terms, k=k, shard_range=shard_range)
+
+
+def topk_boosted(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    boosts,
+    k: int = 10,
+    boost_weight: float = 1.0,
+    shard_range: int = 1 << 17,
+) -> DataFrame:
+    """Opt-in boosted mode (SURVEY.md §7.4): BM25 relevance plus an additive
+    per-document static prior — the reference's documenttypeboost /
+    boostpopularity columns (solrIndexCreation.ts:824,2722-2731,...) live in
+    the document and Solr applies them at query time, OUTSIDE BM25; this
+    mirrors that: the rank-identity gate covers pure BM25 (``topk``), and
+    boosts compose on top.
+
+    ``boosts``: DataFrame (doc_id, boost double) — typically small/derived
+    (broadcast); candidates come from an over-fetched pure-BM25 pass so a
+    boost can promote a doc from below the unboosted top-k (fetch 10×k,
+    the standard two-stage rescoring window).
+    """
+    base = topk(spark, index_dir, query, k=max(k * 10, 100),
+                shard_range=shard_range)
+    boosts = boosts.select(
+        F.col("doc_id"), F.col("boost").cast("double").alias("boost")
+    )
+    return (
+        base.join(F.broadcast(boosts), "doc_id", "left")
+        .withColumn(
+            "score",
+            F.col("score") + F.lit(float(boost_weight)) * F.coalesce("boost", F.lit(0.0)),
+        )
+        .select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

@@ -97,3 +97,29 @@ def test_topk_accepts_term_list(spark, small_index):
     got = [(r["doc_id"], r["score"]) for r in topk(spark, idx, ["tabel", "rilo"], k=5).collect()]
     exp = oracle.topk("tabel rilo", 5)
     assert [d for d, _ in got] == [d for d, _ in exp]
+
+
+def test_topk_boosted(spark, small_index):
+    """Static priors compose on top of BM25 without touching the
+    rank-identity path: zero boosts reproduce pure BM25; a large boost on a
+    low-ranked candidate promotes it to the top."""
+    from pyspark.sql import functions as F
+
+    from solr_indexing_spark.query.bmw import topk_boosted
+
+    idx, pdf = small_index
+    base = topk(spark, idx, "tabel rilo", k=10).collect()
+    zero = spark.createDataFrame([(0, 0.0)], "doc_id long, boost double")
+    same = topk_boosted(spark, idx, "tabel rilo", zero, k=10).collect()
+    assert [(r["doc_id"], r["score"]) for r in base] == [
+        (r["doc_id"], r["score"]) for r in same
+    ]
+
+    # promote the 10th-ranked doc above everything
+    target = base[-1]["doc_id"]
+    boosts = spark.createDataFrame(
+        [(target, 100.0)], "doc_id long, boost double"
+    )
+    boosted = topk_boosted(spark, idx, "tabel rilo", boosts, k=10).collect()
+    assert boosted[0]["doc_id"] == target
+    assert abs(boosted[0]["score"] - (base[-1]["score"] + 100.0)) < 1e-9
