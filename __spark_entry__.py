@@ -867,7 +867,7 @@ def oracle_sql() -> dict[str, str]:
 with toks as ({_TOKS}),
 dl as (select doc_id, count(*) as doclen from toks group by doc_id)
 select count(*) as n_docs, round(avg(doclen), 4) as avgdl,
-       sum(doclen) as total_tokens from dl
+       sum(doclen)::bigint as total_tokens from dl
 """,
         "ft_doclen": f"""
 select doc_id, len(regexp_extract_all(lower(text), {qm})) as doclen

@@ -49,6 +49,12 @@ from ..textprep import (
 )
 from .docids import assign_doc_ids
 
+# Segment on-disk format version. v2 = POSTINGS_SCHEMA carries required
+# positions/pos_counts columns (empty binaries when built without
+# store_positions). Readers validate via read_manifest so a stale segment
+# fails with a version message, not an opaque missing-column error.
+FORMAT_VERSION = 2
+
 POSTINGS_SCHEMA = T.StructType(
     [
         T.StructField("term", T.StringType(), False),
@@ -296,6 +302,8 @@ def build_docs(
         *[c for c in ("url", "text", "lang", "_ext") if c in pages.columns]
     )
     docs = assign_doc_ids(pages, order_col="url", num_partitions=num_partitions, base_doc_id=base_doc_id)
+    docids_cache = getattr(docs, "_docids_cache", None)
+    docids_expected = getattr(docs, "_docids_expected", None)
     # doclen only — the token ARRAYS are deliberately not kept: caching or
     # writing array<string> per doc costs ~10× the docs-table write itself
     # (measured); the posting path re-tokenizes from the compact docs
@@ -305,7 +313,10 @@ def build_docs(
     keep = ["doc_id", "url", "text", "lang", "doclen", "_pid", "_wall_ms"]
     if "_ext" in docs.columns:
         keep.append("_ext")
-    return docs.select(*[c for c in keep if c in docs.columns])
+    out = docs.select(*[c for c in keep if c in docs.columns])
+    out._docids_cache = docids_cache
+    out._docids_expected = docids_expected
+    return out
 
 
 def build_index(
@@ -379,6 +390,12 @@ def build_index(
         "doc_id", "url", "text", "lang", "doclen", "_pid"
     ).write.mode("overwrite").parquet(f"{out_dir}/docs")
     docs_wall = time.monotonic() - t_start
+    # ids are materialized in the parquet — release the range-shuffle cache
+    # that pinned the docID/offset correspondence (leak fix: a long-lived
+    # session building many segments would otherwise accumulate these)
+    docids_cache = getattr(docs, "_docids_cache", None)
+    if docids_cache is not None:
+        docids_cache.unpersist()
     docs_r = spark.read.parquet(f"{out_dir}/docs")
 
     # ---- docs-stage lineage from the written table (text pruned to a
@@ -395,6 +412,19 @@ def build_index(
         .collect()
     )
     n_docs_total = sum(r["n_docs"] for r in lineage_rows)
+    # docID density invariant: ids written must be exactly
+    # [base, base + count) — catches any cache-eviction recompute of the
+    # range shuffle (offsets computed against a different materialization)
+    # before the segment is committed.
+    if lineage_rows:
+        max_hi = max(r["doc_hi"] for r in lineage_rows)
+        min_lo = min(r["doc_lo"] for r in lineage_rows)
+        if min_lo != base_doc_id or max_hi + 1 - base_doc_id != n_docs_total:
+            raise RuntimeError(
+                f"doc_id assignment violated density invariant: ids span "
+                f"[{min_lo}, {max_hi}] but base={base_doc_id}, "
+                f"count={n_docs_total} — range-shuffle cache was recomputed?"
+            )
     total_tokens = sum(r["token_count"] for r in lineage_rows)
     avgdl = (total_tokens / n_docs_total) if n_docs_total else 1.0
     docs_stage_ms = docs_wall * 1000.0 / max(len(lineage_rows), 1)
@@ -462,13 +492,29 @@ def build_index(
             .filter(F.col("cf") > scaled)
             .collect()
         ]
-    if head_terms:
+    salt_expr = (F.col("doc_id") / F.lit(salt_range)).cast("int")
+    if head_terms and len(head_terms) <= 256:
+        # few head terms → literal isin stays in codegen, no join
         exploded = exploded.withColumn(
             "salt",
-            F.when(
-                F.col("term").isin(head_terms),
-                (F.col("doc_id") / F.lit(salt_range)).cast("int"),
-            ).otherwise(F.lit(0)),
+            F.when(F.col("term").isin(head_terms), salt_expr).otherwise(
+                F.lit(0)
+            ),
+        )
+    elif head_terms:
+        # many head terms (low threshold at web scale): a literal list
+        # would bloat every task's serialized plan — broadcast-join the
+        # head set instead (one map-side hash probe per row)
+        head_df = spark.createDataFrame(
+            [(t,) for t in head_terms], "term string"
+        ).withColumn("_is_head", F.lit(True))
+        exploded = (
+            exploded.join(F.broadcast(head_df), "term", "left")
+            .withColumn(
+                "salt",
+                F.when(F.col("_is_head"), salt_expr).otherwise(F.lit(0)),
+            )
+            .drop("_is_head")
         )
     else:
         exploded = exploded.withColumn("salt", F.lit(0).cast("int"))
@@ -526,7 +572,7 @@ def build_index(
 
 
     manifest = {
-        "format_version": 1,
+        "format_version": FORMAT_VERSION,
         "analyzer": analyzer,
         "tokenizer": TOKENIZER_VERSION,
         "extractor": EXTRACTOR_VERSION,
@@ -553,4 +599,12 @@ def build_index(
 
 def read_manifest(index_dir: str) -> dict:
     with open(f"{index_dir}/_manifest.json") as fh:
-        return json.load(fh)
+        man = json.load(fh)
+    ver = man.get("format_version", 0)
+    if ver != FORMAT_VERSION:
+        raise ValueError(
+            f"segment {index_dir} has format_version={ver}, this engine "
+            f"reads format_version={FORMAT_VERSION} — rebuild the segment "
+            "(v2 added required positions/pos_counts postings columns)"
+        )
+    return man

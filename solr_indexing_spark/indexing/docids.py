@@ -40,6 +40,16 @@ def assign_doc_ids(
     ``doc_id`` = base_doc_id + rank of the row in ascending ``order_col``
     order (ties impossible for unique urls; for non-unique keys order within
     the tie is partition-stable but unspecified).
+
+    Correctness depends on the ``.persist()`` below: the collected
+    per-partition counts are only valid for THE SAME materialization of the
+    range shuffle (a recompute would re-sample range boundaries). The
+    persisted plan is stashed on the returned DataFrame as
+    ``._docids_cache`` — the caller must unpersist it once ids are
+    materialized downstream, and should verify the
+    ``max(doc_id)+1-base == count`` invariant before committing (build.py
+    does both). Assumes < 2^33 rows per partition (the
+    monotonically_increasing_id row-counter width).
     """
     spark = df.sparkSession
     if num_partitions is None:
@@ -68,6 +78,9 @@ def assign_doc_ids(
 
     mid = F.monotonically_increasing_id()
     row_in_part = mid.bitwiseAND(F.lit(_MID_ROW_MASK))
-    return ranged.withColumn(
+    out = ranged.withColumn(
         "doc_id", (offset_of_pid + row_in_part).cast("long")
     ).withColumn("_wall_ms", F.lit(0.0))
+    out._docids_cache = ranged  # caller unpersists after materialization
+    out._docids_expected = acc - base_doc_id
+    return out

@@ -27,8 +27,34 @@ import math
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..query.bmw import _topk_impl, load_tombstones
+from ..query.bmw import _topk_impl, load_tombstones, union_dead
 from .build import build_index, read_manifest
+
+
+def append_tombstones(
+    spark: SparkSession, seg_dir: str, dead: DataFrame
+) -> int:
+    """Append tombstone rows (doc_id, doclen) to ``seg_dir``, skipping
+    doc_ids already tombstoned there.
+
+    Duplicate tombstones are harmless at query time (dead-set membership)
+    but poisonous to statistics: ``topk_segments`` subtracts tombstone
+    counts from n_docs/avgdl, and a url updated twice (or a replayed
+    streaming batch) would otherwise append the same doc_id again, drifting
+    idf and — under heavy churn — driving live-doc counts negative.
+    Returns the number of rows actually appended.
+    """
+    import os
+
+    dead = dead.select("doc_id", "doclen").dropDuplicates(["doc_id"])
+    tomb_dir = f"{seg_dir}/tombstones"
+    if os.path.exists(tomb_dir):
+        existing = spark.read.parquet(tomb_dir).select("doc_id")
+        dead = dead.join(existing, "doc_id", "left_anti")
+    n = dead.count()
+    if n:
+        dead.write.mode("append").parquet(tomb_dir)
+    return n
 
 
 def reindex_changed(
@@ -51,7 +77,7 @@ def reindex_changed(
     dead = base_docs.join(F.broadcast(changed_urls), "url", "left_semi").select(
         "doc_id", "doclen"
     )
-    dead.write.mode("append").parquet(f"{base_dir}/tombstones")
+    append_tombstones(spark, base_dir, dead)
 
     build_kwargs.setdefault("num_buckets", man["num_buckets"])
     build_kwargs.setdefault("block_size", man.get("block_size", 128))
@@ -85,7 +111,7 @@ def topk_segments(
     if len(num_buckets) != 1 or len(analyzers) != 1:
         raise ValueError("segments disagree on num_buckets/analyzer")
 
-    dead = frozenset().union(*[load_tombstones(spark, d) for d in seg_dirs])
+    dead = union_dead(spark, [load_tombstones(spark, d) for d in seg_dirs])
     # live-doc stats: tombstones carry doclen, so the correction is exact
     n_total = sum(m["n_docs"] for m in mans)
     tok_total = sum(m["n_docs"] * m["avgdl"] for m in mans)
@@ -94,14 +120,19 @@ def topk_segments(
         import os
 
         if os.path.exists(f"{d}/tombstones"):
+            # distinct by doc_id: append_tombstones already dedups, but
+            # stats must stay correct even against pre-guard tombstone
+            # files (duplicates would drift idf / go negative under churn)
             row = (
                 spark.read.parquet(f"{d}/tombstones")
+                .dropDuplicates(["doc_id"])
                 .agg(F.count("*").alias("n"), F.sum("doclen").alias("tok"))
                 .collect()[0]
             )
             n_total -= int(row["n"] or 0)
             dead_tok += int(row["tok"] or 0)
-    avgdl = (tok_total - dead_tok) / n_total if n_total else 1.0
+    n_total = max(n_total, 0)
+    avgdl = (tok_total - dead_tok) / n_total if n_total > 0 else 1.0
 
     man = {
         "num_buckets": num_buckets.pop(),

@@ -37,8 +37,19 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from .. import BLOCK_SIZE
+
+# Above this many tombstoned doc_ids the merge ships the dead-id array to
+# executors via sparkContext.broadcast (torrent, once per node) instead of
+# task-closure capture (once per task).
+TOMBSTONE_BROADCAST_THRESHOLD = 1_000_000
 from ..codec import delta_decode, vbyte_decode, vbyte_encode
-from .build import POSTINGS_SCHEMA, read_manifest, tf_norm, _term_bucket_py
+from .build import (
+    FORMAT_VERSION,
+    POSTINGS_SCHEMA,
+    read_manifest,
+    tf_norm,
+    _term_bucket_py,
+)
 
 
 def _make_reblocker(
@@ -46,6 +57,8 @@ def _make_reblocker(
     num_buckets: int,
     block_size: int,
     dead_ids: np.ndarray | None = None,
+    has_pos: bool = False,
+    dead_bc=None,
 ):
     """Streaming (mapInPandas) re-blocker over a partition hash-partitioned
     by (term, merge_shard) and sorted by (term, merge_shard, first_doc_id).
@@ -58,12 +71,20 @@ def _make_reblocker(
 
     ``dead_ids``: sorted tombstoned doc_ids — their postings are dropped
     during re-blocking, which is how a merge compacts deletes away
-    (Lucene-style: tombstones live only until the next merge)."""
+    (Lucene-style: tombstones live only until the next merge). Above
+    ``TOMBSTONE_BROADCAST_THRESHOLD`` the caller passes ``dead_bc`` (a
+    Spark torrent broadcast of the same array) instead, so a large dead
+    set ships to executors once per node, not once per task closure.
+
+    ``has_pos`` comes from the segment MANIFESTS (merge_segments rejects
+    mixed positional/non-positional inputs up front) — sniffing it per
+    (term, shard) group would mis-handle a group whose blocks happen to
+    carry empty position blobs."""
 
     cols = [f.name for f in POSTINGS_SCHEMA.fields]
 
     def reblock_group(
-        term: str, shard: int, grows: list, has_pos: bool, t0: int
+        term: str, shard: int, grows: list, dead_arr, t0: int
     ) -> list[tuple]:
         """grows: list of (first_doc_id, n_docs, doc_gaps, tfs, doclens,
         positions, pos_counts) block tuples of ONE (term, shard) group."""
@@ -91,10 +112,10 @@ def _make_reblocker(
             pos_arr = np.empty(len(pos_l), dtype=object)
             pos_arr[:] = pos_l
             pos_arr = pos_arr[order]
-        if dead_ids is not None and len(dead_ids):
-            pos = np.searchsorted(dead_ids, ids)
-            pos[pos >= len(dead_ids)] = len(dead_ids) - 1
-            alive = dead_ids[pos] != ids
+        if dead_arr is not None and len(dead_arr):
+            pos = np.searchsorted(dead_arr, ids)
+            pos[pos >= len(dead_arr)] = len(dead_arr) - 1
+            alive = dead_arr[pos] != ids
             ids, tfs, dls = ids[alive], tfs[alive], dls[alive]
             if has_pos:
                 pos_arr = pos_arr[alive]
@@ -152,6 +173,7 @@ def _make_reblocker(
 
     def reblock_many(pdf: pd.DataFrame) -> pd.DataFrame:
         t0 = time.monotonic_ns()
+        dead_arr = dead_bc.value if dead_bc is not None else dead_ids
         terms = pdf["term"].to_numpy()
         shards = pdf["merge_shard"].to_numpy().astype(np.int64)
         n = len(pdf)
@@ -177,9 +199,8 @@ def _make_reblocker(
                 )
                 for i in range(s, e)
             ]
-            has_pos = any(len(g[6]) for g in grows)
             rows.extend(
-                reblock_group(terms[s], int(shards[s]), grows, has_pos, t0)
+                reblock_group(terms[s], int(shards[s]), grows, dead_arr, t0)
             )
         return pd.DataFrame(rows, columns=cols)
 
@@ -228,11 +249,28 @@ def merge_segments(
     num_buckets = num_buckets or manifests[0]["num_buckets"]
     block_size = block_size or manifests[0].get("block_size", BLOCK_SIZE)
 
+    # positional and non-positional segments cannot be merged: their blocks
+    # decode differently and the output manifest could not honestly claim
+    # either. Rejecting up front (manifest flags) beats a downstream
+    # pos_l/ids length-mismatch crash deep inside the reblocker.
+    pos_flags = {bool(m.get("positions", False)) for m in manifests}
+    if len(pos_flags) > 1:
+        raise ValueError(
+            "cannot merge positional with non-positional segments: "
+            + ", ".join(
+                f"{os.path.basename(d)}(positions={bool(m.get('positions', False))})"
+                for d, m in zip(seg_dirs, manifests)
+            )
+            + " — rebuild the odd ones out with store_positions matching"
+        )
+    has_pos = pos_flags.pop()
+
     os.makedirs(out_dir, exist_ok=True)
 
     # tombstones of every input: compacted away by this merge
     tomb_dirs = [d for d in seg_dirs if os.path.exists(f"{d}/tombstones")]
     dead_ids: np.ndarray | None = None
+    dead_bc = None
     docs = spark.read.parquet(*[f"{d}/docs" for d in seg_dirs])
     if tomb_dirs:
         tomb = (
@@ -240,9 +278,16 @@ def merge_segments(
             .select("doc_id")
             .distinct()
         )
-        dead_ids = np.array(
-            sorted(r["doc_id"] for r in tomb.collect()), dtype=np.int64
+        # Dead-id volume is bounded by churn since the last merge. The
+        # sorted array is built once on the driver (O(churn) — documented
+        # liveDocs trade-off); above the threshold it ships to executors as
+        # a torrent broadcast instead of riding every task closure.
+        dead_ids = np.sort(
+            np.array([r["doc_id"] for r in tomb.collect()], dtype=np.int64)
         )
+        if len(dead_ids) > TOMBSTONE_BROADCAST_THRESHOLD:
+            dead_bc = spark.sparkContext.broadcast(dead_ids)
+            dead_ids = None
         docs = docs.join(tomb, "doc_id", "left_anti")
 
     # docs: union of disjoint id ranges minus tombstones
@@ -268,7 +313,10 @@ def merge_segments(
     blocks_in = blocks_in.withColumn(
         "merge_shard", (F.col("first_doc_id") / merge_shard_range).cast("long")
     )
-    reblocker = _make_reblocker(avgdl, num_buckets, block_size, dead_ids)
+    reblocker = _make_reblocker(
+        avgdl, num_buckets, block_size, dead_ids,
+        has_pos=has_pos, dead_bc=dead_bc,
+    )
     merged = (
         blocks_in.repartition("term", "merge_shard")
         .sortWithinPartitions("term", "merge_shard", "first_doc_id")
@@ -309,9 +357,9 @@ def merge_segments(
     ).parquet(f"{out_dir}/lineage")
 
     manifest = {
-        "format_version": 1,
+        "format_version": FORMAT_VERSION,
         "analyzer": manifests[0].get("analyzer", "default"),
-        "positions": all(m.get("positions", False) for m in manifests),
+        "positions": has_pos,
         "tokenizer": manifests[0]["tokenizer"],
         "extractor": manifests[0]["extractor"],
         "num_buckets": num_buckets,

@@ -176,14 +176,73 @@ def bmw_shard_topk(
     return sorted(((-nd, s) for s, nd in heap), key=lambda t: (-t[1], t[0]))[:k]
 
 
-def load_tombstones(spark: SparkSession, index_dir: str) -> frozenset:
-    """Tombstoned doc_ids of a segment (empty if none). Collected to the
-    driver: tombstone volume is bounded by churn since the last merge
-    (merge compacts them away), the Lucene liveDocs trade-off."""
+# Above this many dead ids, load_tombstones switches from a closure-shipped
+# frozenset to a torrent-broadcast sorted int64 array (BroadcastDeadSet):
+# ~8 bytes/id on the wire once per executor instead of ~60 bytes/id of
+# Python-set pickle in every task closure.
+TOMBSTONE_BROADCAST_THRESHOLD = 1_000_000
+
+
+class BroadcastDeadSet:
+    """Tombstone membership over a Spark-broadcast sorted int64 array —
+    the large-churn path. Supports the same ``doc_id in dead`` / ``bool``
+    protocol the scorers use on the frozenset path; probes are
+    O(log n) searchsorted on a compact numpy array."""
+
+    def __init__(self, bc) -> None:
+        self._bc = bc
+
+    def __contains__(self, doc_id: int) -> bool:
+        a = self._bc.value
+        i = int(np.searchsorted(a, doc_id))
+        return i < len(a) and int(a[i]) == int(doc_id)
+
+    def __len__(self) -> int:
+        return len(self._bc.value)
+
+    def __bool__(self) -> bool:
+        return len(self._bc.value) > 0
+
+    def to_array(self) -> np.ndarray:
+        return self._bc.value
+
+
+def union_dead(spark: SparkSession, sets: list):
+    """Union per-segment dead sets (frozensets and/or BroadcastDeadSets)
+    into one membership object, staying on the broadcast path as soon as
+    any input is broadcast-sized."""
+    small = frozenset().union(
+        *[s for s in sets if isinstance(s, frozenset)]
+    )
+    big = [s for s in sets if isinstance(s, BroadcastDeadSet)]
+    if not big:
+        return small
+    arrs = [s.to_array() for s in big]
+    if small:
+        arrs.append(np.fromiter(small, dtype=np.int64, count=len(small)))
+    merged = np.unique(np.concatenate(arrs))
+    return BroadcastDeadSet(spark.sparkContext.broadcast(merged))
+
+
+def load_tombstones(
+    spark: SparkSession,
+    index_dir: str,
+    broadcast_threshold: int = TOMBSTONE_BROADCAST_THRESHOLD,
+):
+    """Tombstoned doc_ids of a segment (empty frozenset if none).
+
+    Volume is bounded by churn since the last merge (merge compacts them
+    away) — the Lucene liveDocs trade-off. Small sets ride task closures
+    as a frozenset; past ``broadcast_threshold`` they become a
+    ``BroadcastDeadSet`` so executors fetch the array once per node."""
     if not os.path.exists(f"{index_dir}/tombstones"):
         return frozenset()
-    rows = spark.read.parquet(f"{index_dir}/tombstones").select("doc_id").collect()
-    return frozenset(r["doc_id"] for r in rows)
+    df = spark.read.parquet(f"{index_dir}/tombstones").select("doc_id").distinct()
+    rows = df.collect()
+    if len(rows) <= broadcast_threshold:
+        return frozenset(r["doc_id"] for r in rows)
+    arr = np.sort(np.fromiter((r["doc_id"] for r in rows), dtype=np.int64))
+    return BroadcastDeadSet(spark.sparkContext.broadcast(arr))
 
 
 class QuerySession:

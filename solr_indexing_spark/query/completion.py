@@ -21,10 +21,13 @@ from pyspark.sql import functions as F
 
 def flatten_suggests(df: DataFrame, suggest_col: str = "Suggest") -> DataFrame:
     """docs with a Suggest[] column → (input, weight) rows (one per Input
-    string of each CompletionField)."""
+    string of each CompletionField). Inputs are lowercase-normalized here —
+    the completion-table contract (see ``complete``) is that stored inputs
+    are lowercase so the prefix filter stays pushdown-eligible."""
     return (
         df.select(F.explode(suggest_col).alias("s"))
-        .select(F.explode("s.Input").alias("input"), F.col("s.Weight").alias("weight"))
+        .select(F.explode("s.Input").alias("raw"), F.col("s.Weight").alias("weight"))
+        .select(F.lower(F.col("raw")).alias("input"), "weight")
         .filter(F.col("input").isNotNull() & (F.trim(F.col("input")) != ""))
     )
 
@@ -33,8 +36,17 @@ def build_completion_index(
     completion: DataFrame, out_dir: str, num_files: int | None = None
 ) -> None:
     """Write the completion table range-sorted by input (row-group pruning
-    for prefix scans). Duplicate inputs keep their max weight."""
-    deduped = completion.groupBy("input").agg(F.max("weight").alias("weight"))
+    for prefix scans). Duplicate inputs keep their max weight.
+
+    ``input`` is lowercased HERE, at build time, so the query-side prefix
+    filter is over the raw stored column — ``StartsWith`` on a bare column
+    is pushed to Parquet (min/max row-group pruning + PushedFilters), while
+    ``lower(input).startswith(p)`` would not be."""
+    deduped = (
+        completion.withColumn("input", F.lower(F.col("input")))
+        .groupBy("input")
+        .agg(F.max("weight").alias("weight"))
+    )
     n = num_files or completion.sparkSession.sparkContext.defaultParallelism
     deduped.repartitionByRange(n, "input").sortWithinPartitions("input").write.mode(
         "overwrite"
@@ -48,13 +60,16 @@ def complete(
     (weight desc, input asc) — deterministic. ``source`` is the completion
     table (read from ``build_completion_index`` output or built inline).
 
-    The ``startswith`` filter compiles to parquet min/max row-group pruning
-    on the sorted layout; the aggregation is partial+final over only the
-    matching rows.
+    The ``startswith`` filter is over the RAW column (inputs are stored
+    lowercased by ``build_completion_index``), so it reaches the Parquet
+    scan as ``PushedFilters: [StringStartsWith(input,…)]`` and prunes row
+    groups via min/max stats on the sorted layout; the aggregation is
+    partial+final over only the matching rows. A ``lower(input)`` wrapper
+    here would defeat the pushdown — don't reintroduce it.
     """
     p = prefix.lower()
     return (
-        source.filter(F.lower(F.col("input")).startswith(p))
+        source.filter(F.col("input").startswith(p))
         .groupBy("input")
         .agg(F.max("weight").alias("weight"))
         .orderBy(F.desc("weight"), F.asc("input"))

@@ -27,7 +27,7 @@ from pyspark.sql import types as T
 from .. import B, K1
 from ..codec import delta_decode, vbyte_decode
 from ..indexing.build import _term_bucket_py, read_manifest
-from ..textprep import ANALYZERS
+from ..textprep import QUERY_OFFSET_TOKENIZERS, tokenize_offsets_str
 from .bmw import load_tombstones
 
 _OUT = T.StructType(
@@ -76,11 +76,18 @@ def phrase_topk(
         )
     num_buckets = man["num_buckets"]
     n_docs, avgdl = man["n_docs"], man["avgdl"]
-    tokenizer = ANALYZERS.get(man.get("analyzer", "default"), ANALYZERS["default"])[2]
-    terms = tokenizer(phrase)  # ORDER AND DUPLICATES MATTER
+    # Gapped (position, term) pairs: under the stopword analyzer the kept
+    # terms retain their original token positions (Lucene position
+    # increments), matching what tokenize_tf_pos_stop stored in the index.
+    offtok = QUERY_OFFSET_TOKENIZERS.get(
+        man.get("analyzer", "default"), tokenize_offsets_str
+    )
+    pairs = offtok(phrase)  # ORDER, DUPLICATES, AND GAPS MATTER
     empty = spark.createDataFrame([], _OUT)
-    if not terms:
+    if not pairs:
         return empty
+    base_off = pairs[0][0]  # normalize so the first kept term is offset 0
+    terms = [t for _, t in pairs]
     uniq = sorted(set(terms))
     dead = load_tombstones(spark, index_dir)
 
@@ -116,7 +123,9 @@ def phrase_topk(
         )
     )
 
-    offsets = {t: [i for i, q in enumerate(terms) if q == t] for t in uniq}
+    offsets = {
+        t: [off - base_off for off, q in pairs if q == t] for t in uniq
+    }
     kk, rr, avg = k, shard_range, avgdl
     idf_b, dead_b, uniq_b, offs_b = idf, dead, uniq, offsets
 

@@ -177,17 +177,24 @@ def train_centroids(
     seed_stride: int | None = None,
 ) -> list[list[float]]:
     """Lloyd's k-means on DataFrames (no MLlib): init = deterministic
-    stride-sample of the table ordered by id; each iteration is one
-    assign (broadcast centroids, narrow) + one groupBy(cell) mean.
+    hash-stride sample pushed into the scan (only ~C rows ever reach the
+    driver — never O(n)); each iteration is one assign (broadcast
+    centroids, narrow) + one groupBy(cell) mean.
     Returns driver-side centroid list (C × dim floats — tiny)."""
     n = emb.count()
     stride = seed_stride or max(1, n // n_centroids)
+    # Deterministic scan-side filter: rows whose id hashes into the stride
+    # class survive (≈ n/stride ≈ C rows), then take the C smallest ids for
+    # stability. The filter + limit run on executors; the driver sees ≤ C rows.
     seeds = (
-        emb.orderBy(id_col)
+        emb.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(stride)) == 0)
+        .orderBy(id_col)
         .select(vec_col)
-        .limit(n_centroids * stride)
-        .collect()[::stride][:n_centroids]
+        .limit(n_centroids)
+        .collect()
     )
+    if len(seeds) < n_centroids:  # tiny tables / unlucky hash class
+        seeds = emb.orderBy(id_col).select(vec_col).limit(n_centroids).collect()
     centroids = [list(map(float, r[0])) for r in seeds]
     dim = len(centroids[0])
     for _ in range(iters):

@@ -92,15 +92,16 @@ def ingest_batch(
     urls = batch_df.select("url").distinct()
     from pyspark.sql import functions as F
 
+    from ..indexing.incremental import append_tombstones
+
     for prev in reg["segments"]:
         prev_docs = spark.read.parquet(os.path.join(index_root, prev, "docs"))
         dead = prev_docs.join(F.broadcast(urls), "url", "left_semi").select(
             "doc_id", "doclen"
         )
-        if dead.limit(1).count():
-            dead.write.mode("append").parquet(
-                os.path.join(index_root, prev, "tombstones")
-            )
+        # dedup-guarded append: a replayed batch (at-least-once delivery)
+        # must not re-tombstone the same doc_ids and skew live-doc stats
+        append_tombstones(spark, os.path.join(index_root, prev), dead)
 
     man = build_index(
         spark,

@@ -285,6 +285,23 @@ def tokenize_tf_pos_stop(text: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+def tokenize_offsets_str(text: str | None) -> list[tuple[int, str]]:
+    """Query-side (position, term) pairs under the default analyzer —
+    positions are plain token indices."""
+    return list(enumerate(tokenize_str(text)))
+
+
+def tokenize_stop_offsets_str(text: str | None) -> list[tuple[int, str]]:
+    """Stopword-analyzer (position, term) pairs PRESERVING position
+    increments across removed stopwords — the Lucene position-gap
+    semantics the index side stores (``tokenize_tf_pos_stop``). A phrase
+    like "president of india" keeps india at position 2, so it matches
+    documents indexed with the same gap. (A gapless 0..m-1 numbering here
+    would make stopword-spanning phrases unmatchable.)"""
+    sw = STOPWORDS
+    return [(i, t) for i, t in enumerate(tokenize_str(text)) if t not in sw]
+
+
 ANALYZERS = {
     # analyzer name →
     #   (tokens UDF, per-doc tf UDF, query-side str tokenizer, tf+pos UDF)
@@ -292,4 +309,12 @@ ANALYZERS = {
     "stopword": (
         tokenize_stop, tokenize_tf_stop, tokenize_stop_str, tokenize_tf_pos_stop
     ),
+}
+
+# analyzer name → query-side gapped (position, term) tokenizer; the phrase
+# scorer MUST use these (not ANALYZERS[...][2]) so query positions agree
+# with stored index positions under stopword removal.
+QUERY_OFFSET_TOKENIZERS = {
+    "default": tokenize_offsets_str,
+    "stopword": tokenize_stop_offsets_str,
 }

@@ -29,11 +29,12 @@ def test_flatten_and_complete(spark):
         ).alias("Suggest")
     )
     comp = flatten_suggests(df)
+    # inputs are lowercase-normalized at build time (pushdown contract)
     rows = {(r["input"], r["weight"]) for r in comp.collect()}
-    assert ("Income Tax Act", 20) in rows and ("Supreme Court", 12) in rows
+    assert ("income tax act", 20) in rows and ("supreme court", 12) in rows
 
-    got = complete(comp, "in", k=5).collect()
-    assert [r["input"] for r in got] == ["Income Tax Act"]
+    got = complete(comp, "In", k=5).collect()
+    assert [r["input"] for r in got] == ["income tax act"]
     assert got[0]["weight"] == 20
 
 

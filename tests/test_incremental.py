@@ -149,6 +149,95 @@ def test_merge_compacts_tombstones(spark, base, tmp_path_factory):
         }, f"query {q!r}"
 
 
+def test_duplicate_tombstones_do_not_drift_stats(spark, tmp_path_factory):
+    """A url updated twice (or a replayed batch) must not re-append the
+    same tombstone and skew live-doc stats (round-1 ADVICE bug): scores
+    stay rank-identical to a one-update run and to the oracle."""
+    root = tmp_path_factory.mktemp("dupts")
+    pdf = gen_pages(120, seed=17)
+    write_pandas_pages(pdf, str(root / "p.parquet"))
+    build_index(
+        spark, spark.read.parquet(str(root / "p.parquet")),
+        str(root / "seg0"), num_buckets=4,
+    )
+    # update the SAME 10 urls twice, two delta segments
+    for gen in (1, 2):
+        chg = pdf.iloc[20:30].copy().reset_index(drop=True)
+        chg["text"] = [
+            f"gen{gen}word{i:03d} updated body text" for i in range(len(chg))
+        ]
+        write_pandas_pages(chg, str(root / f"chg{gen}.parquet"))
+        prev_segs = [str(root / "seg0")] + [
+            str(root / f"seg_chg{g}") for g in range(1, gen)
+        ]
+        # tombstone in every earlier segment (streaming-ingest pattern)
+        from solr_indexing_spark.indexing.incremental import append_tombstones
+        from pyspark.sql import functions as F
+
+        chg_urls = spark.read.parquet(str(root / f"chg{gen}.parquet")).select("url").distinct()
+        for seg in prev_segs:
+            seg_docs = spark.read.parquet(f"{seg}/docs")
+            dead = seg_docs.join(F.broadcast(chg_urls), "url", "left_semi").select(
+                "doc_id", "doclen"
+            )
+            append_tombstones(spark, seg, dead)
+        man0 = read_manifest(str(root / "seg0"))
+        hi = max(
+            [man0["doc_id_hi"]]
+            + [read_manifest(s)["doc_id_hi"] for s in prev_segs[1:]]
+        )
+        build_index(
+            spark, spark.read.parquet(str(root / f"chg{gen}.parquet")),
+            str(root / f"seg_chg{gen}"), num_buckets=4, base_doc_id=hi + 1,
+        )
+    # seg0's tombstone file must hold each dead doc_id exactly once —
+    # the second update's append_tombstones anti-joined them away
+    tomb = spark.read.parquet(str(root / "seg0") + "/tombstones")
+    assert tomb.count() == tomb.select("doc_id").distinct().count() == 10
+
+    # stats defense-in-depth: a LEGACY tombstone file with raw duplicates
+    # (pre-guard layout) must serve identical results — topk_segments
+    # dedups by doc_id before subtracting from n_docs/avgdl
+    segs = [str(root / "seg0"), str(root / "seg_chg1"), str(root / "seg_chg2")]
+    before = {
+        q: [(r["doc_id"], round(r["score"], 9))
+            for r in topk_segments(spark, segs, q, k=10).collect()]
+        for q in QUERIES
+    }
+    # triple-append the same dead rows, bypassing the guard
+    for _ in range(3):
+        tomb.write.mode("append").parquet(str(root / "seg0") + "/tombstones")
+    tomb2 = spark.read.parquet(str(root / "seg0") + "/tombstones")
+    assert tomb2.count() == 40  # duplicates really are on disk
+    after = {
+        q: [(r["doc_id"], round(r["score"], 9))
+            for r in topk_segments(spark, segs, q, k=10).collect()]
+        for q in QUERIES
+    }
+    assert before == after
+
+
+def test_large_tombstone_broadcast_path(spark, base, monkeypatch):
+    """Above the size threshold load_tombstones returns a BroadcastDeadSet;
+    query results must be identical to the frozenset path."""
+    from solr_indexing_spark.query import bmw as bmw_mod
+
+    root, _ = base
+    seg = str(root / "seg0")
+    small = bmw_mod.load_tombstones(spark, seg)
+    big = bmw_mod.load_tombstones(spark, seg, broadcast_threshold=0)
+    if not small:
+        pytest.skip("no tombstones on seg0 yet (test ordering)")
+    assert isinstance(big, bmw_mod.BroadcastDeadSet)
+    assert len(big) == len(small)
+    some = next(iter(small))
+    assert some in big and (max(small) + 10_000) not in big
+    # a union across paths stays broadcast and preserves membership
+    u = bmw_mod.union_dead(spark, [big, frozenset({max(small) + 1})])
+    assert isinstance(u, bmw_mod.BroadcastDeadSet)
+    assert some in u and (max(small) + 1) in u
+
+
 def test_stopword_analyzer_variant(spark, tmp_path_factory):
     root = tmp_path_factory.mktemp("stopidx")
     pdf = gen_pages(200, seed=9)

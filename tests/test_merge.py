@@ -126,3 +126,30 @@ def test_hierarchical_merge_resume(spark, split_corpus, tmp_path_factory):
     assert {r["stage"] for r in lin.select("stage").distinct().collect()} == {
         "docs", "postings", "merge",
     }
+
+
+def test_merge_rejects_mixed_positional(spark, tmp_path):
+    """Merging a positional with a non-positional segment is rejected up
+    front (manifest flags) instead of crashing deep in the reblocker."""
+    from solr_indexing_spark.synth import gen_pages, write_pandas_pages
+
+    pdf = gen_pages(80, seed=5)
+    ordered = pdf.sort_values("url").reset_index(drop=True)
+    a, b = ordered.iloc[:40], ordered.iloc[40:]
+    write_pandas_pages(a, str(tmp_path / "a.parquet"))
+    write_pandas_pages(b.reset_index(drop=True), str(tmp_path / "b.parquet"))
+    build_index(
+        spark, spark.read.parquet(str(tmp_path / "a.parquet")),
+        str(tmp_path / "segpos"), num_buckets=2, store_positions=True,
+    )
+    build_index(
+        spark, spark.read.parquet(str(tmp_path / "b.parquet")),
+        str(tmp_path / "segnopos"), num_buckets=2, base_doc_id=40,
+        store_positions=False,
+    )
+    with pytest.raises(ValueError, match="positional"):
+        merge_segments(
+            spark,
+            [str(tmp_path / "segpos"), str(tmp_path / "segnopos")],
+            str(tmp_path / "out"),
+        )

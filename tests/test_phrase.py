@@ -90,6 +90,36 @@ def test_phrase_requires_positions(spark, pages_df, tmp_path):
         phrase_topk(spark, out, "any phrase")
 
 
+def test_phrase_stopword_gaps(spark, tmp_path):
+    """Stopword-analyzer phrases spanning a stopword must match: the index
+    stores gapped positions (india at p+2 in "president of india"), so the
+    query side must keep the same gaps — a compressed 0..m-1 numbering
+    would make this phrase unmatchable (round-1 ADVICE bug)."""
+    rows = [
+        ("u1", "the president of india spoke in delhi today", "en"),
+        ("u2", "president india trade summit opens", "en"),
+        ("u3", "completely unrelated text about gardens", "en"),
+    ]
+    df = spark.createDataFrame(rows, "url string, text string, lang string")
+    out = str(tmp_path / "stopidx")
+    build_index(
+        spark, df, out, num_buckets=2, analyzer="stopword",
+        store_positions=True,
+    )
+    id_of = {
+        r["url"]: r["doc_id"]
+        for r in spark.read.parquet(f"{out}/docs").collect()
+    }
+    # spans the removed stopword "of": only u1 stores president@p, india@p+2
+    got = {r["doc_id"] for r in phrase_topk(spark, out, "president of india", k=10).collect()}
+    assert got == {id_of["u1"]}
+    # adjacent query form: only u2 has india directly after president
+    got_adj = {r["doc_id"] for r in phrase_topk(spark, out, "president india", k=10).collect()}
+    assert got_adj == {id_of["u2"]}
+    # a phrase that is PURELY stopwords tokenizes to nothing → empty result
+    assert phrase_topk(spark, out, "of the", k=5).collect() == []
+
+
 def test_phrase_survives_merge(spark, pos_index, tmp_path_factory):
     """Positions must round-trip the re-blocking merge (decode → permute →
     re-encode) and still answer phrases rank-identically."""
