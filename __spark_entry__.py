@@ -470,13 +470,37 @@ def _dp_slugify(spark, sf_dir):
 
 
 def _dp_category_filter(spark, sf_dir):
+    """P2+P3 through the REAL grammar code: parse_categories +
+    filter_final_categories over a packed categoriescentax column
+    synthesized from orderkeys (whitelist, final 3-id filter, 'centax '
+    strip, slug urls — solrIndexCreation.ts:196-299, 2900-2916)."""
+    from solr_indexing_spark.docprep.grammars import (
+        filter_final_categories,
+        parse_categories,
+    )
+
+    k = F.col("o_orderkey")
+    cat_id = (
+        F.when(k % 4 == 0, F.lit("111050000000018392"))
+        .when(k % 4 == 1, F.lit("111050000000018393"))
+        .when(k % 4 == 2, F.lit("111050000000018400"))
+        .otherwise(F.lit("111050000000019031"))  # whitelisted, not final
+    )
+    packed = F.concat(
+        cat_id, F.lit("^Centax Prio"), (k % 7).cast("string"),
+        F.lit("%"), (k % 2).cast("string"),
+    )
+    cats = filter_final_categories(parse_categories(packed))
     return (
         _tbl(spark, sf_dir, "orders")
-        .filter(F.col("o_orderpriority").isin(["1-URGENT", "2-HIGH"]))
-        .groupBy("o_orderpriority")
-        .agg(
-            F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        .filter(k < 2000)
+        .select(k.alias("o_orderkey"), F.explode(cats).alias("c"))
+        .select(
+            "o_orderkey",
+            F.col("c.id").alias("cat_id"),
+            F.col("c.name").alias("cat_name"),
+            F.col("c.url").alias("cat_url"),
+            F.col("c.isprimarycat").alias("isprimarycat"),
         )
     )
 
@@ -499,44 +523,83 @@ def _dp_broadcast_enrich(spark, sf_dir):
 
 
 def _dp_sort_key(spark, sf_dir):
-    key = F.concat(
-        F.lpad(F.year("o_orderdate").cast("string"), 4, "0"),
-        F.lpad(F.col("o_custkey").cast("string"), 9, "0"),
-        F.lpad(F.col("o_orderkey").cast("string"), 10, "0"),
+    """O1 through the REAL code: all 3 distinct MasterCitationOrder*
+    sort-key behaviors (master / centax-inverted / elt) from
+    docprep.citations over a packed column synthesized per order, plus the
+    null-input default key (solrIndexCreation.ts:1624-1942)."""
+    from solr_indexing_spark.docprep.citations import (
+        citation_sort_key_variant,
+    )
+
+    k = F.col("o_orderkey")
+    jid = F.lpad(F.col("o_custkey").cast("string"), 18, "0")
+    mco = F.when(
+        k % 10 != 0,
+        F.concat(
+            F.year("o_orderdate").cast("string"), F.lit("|"),
+            jid, F.lit("^Journal"), F.col("o_custkey").cast("string"),
+            F.lit("|"), (k % 2000).cast("string"),
+            F.lit("|"), (k % 9000).cast("string"),
+        ),
     )
     return (
         _tbl(spark, sf_dir, "orders")
-        .select("o_orderkey", key.alias("sort_key"))
-        .orderBy("sort_key")
-        .limit(20)
+        .filter(k < 1000)
+        .select(
+            k.alias("o_orderkey"),
+            citation_sort_key_variant(mco, "master").alias("key_master"),
+            citation_sort_key_variant(mco, "centax").alias("key_centax"),
+            citation_sort_key_variant(mco, "elt").alias("key_elt"),
+        )
     )
 
 
 def _dp_window_rownum(spark, sf_dir):
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.desc("o_totalprice"), F.asc("o_orderkey")
+    """W1 through the REAL code: grammars.parse_marking_info (the gnarly
+    @@i/@@e/@@t grammar, Arrow UDF) over a synthesized MarkingInfo column —
+    per-entry row numbers + the num==1 topstory election
+    (solrIndexCreation.ts:2626-2667)."""
+    from solr_indexing_spark.docprep.grammars import parse_marking_info
+
+    k = F.col("o_orderkey")
+    ks = k.cast("string")
+    packed = F.concat(
+        F.lit("Story"), ks, F.lit("|img"), ks, F.lit("^Head"), ks,
+        F.lit("##Desc"), ks, F.lit("@@ix~E"), ks, F.lit("\\U "), ks,
+        F.lit("$Second|i2^H2##D2@@ix~E2\\U2"),
     )
     return (
         _tbl(spark, sf_dir, "orders")
-        .filter(F.col("o_custkey") < 100)
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 3)
+        .filter(k < 300)
+        .select(k.alias("o_orderkey"), F.explode(parse_marking_info(packed)).alias("m"))
         .select(
-            "o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("price"), "rk"
+            "o_orderkey",
+            F.col("m.number").alias("number"),
+            F.col("m.text").alias("text"),
+            F.col("m.image").alias("image"),
+            F.col("m.entrydate").alias("entrydate"),
+            F.col("m.updateddate").alias("updateddate"),
+            F.coalesce(F.col("m.topstoryheading"), F.lit("")).alias("topstory"),
         )
     )
 
 
 def _dp_static_boost(spark, sf_dir):
-    boost = (
-        F.when(F.col("o_orderpriority") == "1-URGENT", 10000)
-        .when(F.col("o_orderpriority") == "2-HIGH", 8000)
-        .when(F.col("o_orderpriority") == "3-MEDIUM", 5000)
-        .otherwise(1500)
+    """O4 through the REAL code: scalars.court_boost over synthesized
+    court columns (id-substring dispatch, solrIndexCreation.ts:2722-2731)."""
+    from solr_indexing_spark.docprep.scalars import court_boost
+
+    k = F.col("o_orderkey")
+    court = (
+        F.when(k % 5 == 0, F.lit("111270000000000009^Supreme Court^SC"))
+        .when(k % 5 == 1, F.lit("111270000000000044^High Court^HC"))
+        .when(k % 5 == 2, F.lit("111270000000000002^AAR^A"))
+        .when(k % 5 == 3, F.lit("111270000000000007^ITAT^I"))
+        .otherwise(F.lit("999^Other Court^O"))
     )
     return (
         _tbl(spark, sf_dir, "orders")
-        .select(boost.alias("boost"))
+        .select(court_boost(court).alias("boost"))
         .groupBy("boost")
         .agg(F.count("*").alias("n_docs"))
     )
@@ -587,37 +650,88 @@ def _dp_date_convert(spark, sf_dir):
 
 
 def _dp_citation_variants(spark, sf_dir):
-    name = F.col("p_name")
-    return _tbl(spark, sf_dir, "part").select(
-        "p_partkey",
-        name.alias("v_original"),
-        F.regexp_replace(name, r"\s+", "").alias("v_nospace"),
-        F.regexp_replace(name, r"[aeiou]", "").alias("v_novowel"),
-        F.upper(F.regexp_replace(name, r"\s+", "-")).alias("v_slug_upper"),
+    """F9 through the REAL code: citations.similar_full_citations — the
+    8-variant similarfullcitation query-expansion fan-out over synthesized
+    fullcitation strings; keys ending '(Raj)' trigger the judge-suffix
+    variants (solrIndexCreation.ts:5396-5487)."""
+    from solr_indexing_spark.docprep.citations import similar_full_citations
+
+    k = F.col("p_partkey")
+    full = F.concat(
+        F.lit("["), (F.lit(1990) + k % 30).cast("string"), F.lit("] "),
+        (k % 9).cast("string"), F.lit(" I.T.R. "), k.cast("string"),
+        F.when(k % 5 == 0, F.lit(" (Raj)")).otherwise(F.lit("")),
+    )
+    return (
+        _tbl(spark, sf_dir, "part")
+        .filter(k < 400)
+        .select(
+            k.alias("p_partkey"),
+            F.posexplode(similar_full_citations(full)).alias(
+                "variant_idx", "variant"
+            ),
+        )
     )
 
 
 def _dp_first_wins(spark, sf_dir):
-    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    """A1 through the REAL code: masterinfo.parse_gst_subjects first-wins
+    dedup — a duplicated classification id across '$' elements collapses
+    to one while subclassifications accumulate
+    (solrIndexCreation.ts:1963-2002)."""
+    from solr_indexing_spark.docprep.masterinfo import parse_gst_subjects
+
+    k = F.col("o_orderkey")
+    cid = F.concat(F.lit("11106000000000000"), (k % 3).cast("string"))
+    cname = F.concat(F.lit("Name"), (k % 3).cast("string"))
+    g = F.concat(
+        cid, F.lit("^"), cname, F.lit("|111070000000000009^SubA"),
+        k.cast("string"),
+        F.lit("$"),
+        cid, F.lit("^"), cname, F.lit("|111070000000000008^SubB"),
+        k.cast("string"),
+    )
+    parsed = parse_gst_subjects(g, F.lit(""))
     return (
-        _tbl(spark, sf_dir, "lineitem")
-        .filter(F.col("l_orderkey") < 200)
-        .withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") == 1)
-        .select("l_orderkey", "l_linenumber", "l_partkey")
+        _tbl(spark, sf_dir, "orders")
+        .filter(k < 500)
+        .select(k.alias("o_orderkey"), parsed.alias("p"))
+        .select(
+            "o_orderkey",
+            F.size("p.classification").alias("n_class"),
+            F.element_at("p.classification", 1)["name"].alias("class_name"),
+            F.size("p.subclassification").alias("n_sub"),
+            F.element_at("p.subclassification", 2)["name"].alias("sub2_name"),
+        )
     )
 
 
 def _dp_concat_agg(spark, sf_dir):
+    """A3 through the REAL code: grammars.headnotes_text rolling '~~'
+    concat (hn10 space quirk) + headnotes_array count over synthesized
+    hn columns (solrIndexCreation.ts:2674-2717)."""
+    from solr_indexing_spark.docprep.grammars import (
+        headnotes_array,
+        headnotes_text,
+    )
+
+    k = F.col("o_orderkey")
+    hn = [
+        F.concat(F.lit("A"), k.cast("string")),
+        F.when(k % 2 == 0, F.concat(F.lit("B"), k.cast("string"))),
+        F.lit(None).cast("string"),
+        F.lit(None).cast("string"), F.lit(None).cast("string"),
+        F.lit(None).cast("string"), F.lit(None).cast("string"),
+        F.lit(None).cast("string"), F.lit(None).cast("string"),
+        F.when(k % 3 == 0, F.concat(F.lit("J"), k.cast("string"))),
+    ]
     return (
-        _tbl(spark, sf_dir, "lineitem")
-        .filter(F.col("l_orderkey") < 100)
-        .groupBy("l_orderkey")
-        .agg(
-            F.array_join(
-                F.array_sort(F.collect_list(F.col("l_linenumber").cast("string"))),
-                "~~",
-            ).alias("linenumbers")
+        _tbl(spark, sf_dir, "orders")
+        .filter(k < 500)
+        .select(
+            k.alias("o_orderkey"),
+            headnotes_text(*hn).alias("headnotestext"),
+            F.size(headnotes_array(*hn)).alias("n_notes"),
         )
     )
 
@@ -686,6 +800,234 @@ def _dp_arinfo_parse(spark, sf_dir):
             F.col("a.date").alias("assoc_date"),
             F.col("a.url").alias("assoc_url"),
         )
+    )
+
+
+def _dp_popular_acts(spark, sf_dir):
+    """J1 replayed against the REFERENCE's dictionary rows (shipped as data
+    in docprep.popular_acts_data, extracted from common.ts:26-168): hits
+    resolve to reference id/name/cat_urls, misses to the synthetic
+    'Other Acts' row (solrIndexCreation.ts:1137-1164)."""
+    from solr_indexing_spark.docprep.enrich import popular_acts_join
+    from solr_indexing_spark.docprep.popular_acts_data import popular_acts_df
+
+    k = F.col("o_orderkey")
+    act_id = (
+        F.when(k % 3 == 0, F.lit("102010000000000152"))   # Customs Act, 1962
+        .when(k % 3 == 1, F.lit("102010000000000131"))    # Constitution of India
+        .otherwise(F.lit("000000000000000001"))           # miss → Other Acts
+    )
+    facts = _tbl(spark, sf_dir, "orders").select(act_id.alias("act_id"))
+    joined = popular_acts_join(facts, popular_acts_df(spark, "case_final"))
+    return (
+        joined.groupBy(
+            "resolved_act_id", "resolved_act_name", "resolved_act_url",
+            F.coalesce(F.array_join("act_cat_urls", ","), F.lit("")).alias(
+                "cat_urls"
+            ),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _dp_iltinfo(spark, sf_dir):
+    """The iltinfo country/article/subject tree grammar
+    (solrIndexCreation.ts:2333-2583) through masterinfo.parse_iltinfo, plus
+    the searchiltcitation id-concat, over packed columns synthesized per
+    order."""
+    from solr_indexing_spark.docprep.masterinfo import (
+        parse_iltinfo,
+        search_ilt_citation,
+    )
+
+    k = F.col("o_orderkey")
+    ks = k.cast("string")
+    c1 = (k % 50).cast("string")
+    c2 = (k % 20).cast("string")
+    ilt_packed = F.concat(
+        F.lit("C"), c1, F.lit("0000^Country"), c1, F.lit("#"),
+        (k % 7).cast("string"),
+        F.lit("|D"), c2, F.lit("0000^Dest"), c2,
+        F.lit("|A"), ks, F.lit("00^Article "), ks,
+        F.lit("|S"), ks, F.lit("00-9^Subject "), ks,
+        F.lit("|T"), ks, F.lit("00^Topic "), ks,
+    )
+    ilt = parse_iltinfo(ilt_packed)
+    t = F.element_at(ilt, 1)
+    return (
+        _tbl(spark, sf_dir, "orders")
+        .filter(k < 500)
+        .select(
+            k.alias("o_orderkey"),
+            t["country1"]["id"].alias("c1_id"),
+            t["country1"]["name"].alias("c1_name"),
+            t["country1"]["ordering"].alias("c1_ord"),
+            t["country1"]["orderInteger"].alias("c1_oi"),
+            t["country2"]["pid"].alias("c2_pid"),
+            t["article"]["pid"].alias("art_pid"),
+            t["article"]["name"].alias("art_name"),
+            t["subject"]["id"].alias("subj_id"),
+            t["subject"]["pSubId"].alias("subj_psub"),
+            t["subject"]["ordering"].alias("subj_ord"),
+            t["subsubject"]["pid"].alias("ss_pid"),
+            F.element_at(search_ilt_citation(ilt), 1).alias("ilt_key"),
+        )
+    )
+
+
+def _dp_authors(spark, sf_dir):
+    """The AuthorName @-grammar (solrIndexCreation.ts:5234-5262) through
+    masterinfo.parse_authors: designation/social/image/order fields."""
+    from solr_indexing_spark.docprep.masterinfo import parse_authors
+
+    k = F.col("o_orderkey")
+    ks = k.cast("string")
+    an = F.concat(
+        F.lit("A"), ks, F.lit("@Author "), ks,
+        F.lit("~Designation"), (k % 5).cast("string"),
+        F.lit("^https://example.org/"), ks,
+        F.lit("#/img/"), ks, F.lit(".png!"), (k % 9).cast("string"),
+        F.lit("$B"), ks, F.lit("@Co Author~^#"),
+    )
+    return (
+        _tbl(spark, sf_dir, "orders")
+        .filter(k < 400)
+        .select(k.alias("o_orderkey"), F.explode(parse_authors(an)).alias("a"))
+        .select(
+            "o_orderkey",
+            F.col("a.id").alias("author_id"),
+            F.col("a.name").alias("author_name"),
+            F.col("a.designation").alias("designation"),
+            F.col("a.socialSiteUrl").alias("social"),
+            F.col("a.imagePath").alias("image"),
+            F.col("a.orderInteger").alias("order_int"),
+        )
+    )
+
+
+def _dp_doc_assembly(spark, sf_dir):
+    """The COMPOSED CaseLaws pipeline (docprep.pipelines.case_laws_document,
+    solrIndexCreation.ts:890-2955): packed row → nested IndexDocument,
+    flattened here to SQL-comparable scalars. Certifies the end-to-end
+    document assembly, not individual operators."""
+    from solr_indexing_spark.docprep.pipelines import case_laws_document
+
+    orders = _tbl(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 300)
+    k = F.col("o_orderkey")
+    ks = k.cast("string")
+    jid = F.lpad(F.col("o_custkey").cast("string"), 18, "0")
+    mco = F.concat(
+        F.year("o_orderdate").cast("string"), F.lit("|"), jid,
+        F.lit("^Journal|"), (k % 100).cast("string"), F.lit("|"),
+        (k % 1000).cast("string"),
+    )
+    court = (
+        F.when(k % 5 == 0, F.lit("111270000000000009^Supreme Court^SC^1"))
+        .when(k % 5 == 1, F.lit("111270000000000044^High Court^HC^2"))
+        .when(k % 5 == 2, F.lit("111270000000000002^AAR^A^3"))
+        .when(k % 5 == 3, F.lit("111270000000000007^ITAT^I^4"))
+        .otherwise(F.lit("999^OC^Other Court^5"))
+    )
+    packed = orders.select(
+        k.alias("_k"),
+        F.concat(F.lit("S"), ks).alias("mid"),
+        F.concat(F.lit("M"), ks).alias("id"),
+        F.lit("Case Laws").alias("documenttype"),
+        F.lit(".xml").alias("documentformat"),
+        F.concat(F.lit("https://x.org/"), ks).alias("url"),
+        F.year("o_orderdate").cast("string").alias("year"),
+        F.lit("111050000000018392^Centax Customs%1").alias("categoriescentax"),
+        mco.alias("MasterCitationOrder"),
+        mco.alias("citation"),
+        court.alias("court"),
+        F.concat(
+            F.date_format("o_orderdate", "yyyyMMdd"), F.lit("^"),
+            F.date_format("o_orderdate", "dd-MM-yyyy"),
+        ).alias("documentdate"),
+        F.concat(F.lit("Case "), ks).alias("Heading"),
+        F.concat(F.lit("Sub "), ks).alias("subheading"),
+        F.concat(F.lit("H"), ks).alias("hn1"),
+        F.concat(
+            F.lit("<document><p>Body"), ks, F.lit("</p></document>")
+        ).alias("fullcontent"),
+        F.lit("w1 w2").alias("CrossTagging"),
+    )
+    doc = case_laws_document(packed, templateid="T")
+    return doc.select(
+        F.col("id").alias("doc_id_str"),
+        "mid",
+        "documenttype",
+        "heading",
+        "sortbycitation",
+        "sortbycitationcentax",
+        "sortheadingnumber",
+        F.col("documenttypeboost").alias("boost"),
+        F.size("categories").alias("n_categories"),
+        F.element_at("categories", 1)["name"].alias("cat_name"),
+        F.element_at(F.col("masterinfo.info.court"), 1)["name"].alias(
+            "court_name"
+        ),
+        "documentdate",
+        "displaydocumentdatestring",
+        F.col("headnotestext").alias("headnotestext"),
+        F.array_join("wordphraseids", " ").alias("wordphrases"),
+        "fullcontent",
+    )
+
+
+def _dp_actrule_assembly(spark, sf_dir):
+    """The COMPOSED ActRule pipeline (docprep.pipelines.act_rule_document,
+    solrIndexCreation.ts:27-888) for docType 2 (rules): heading
+    classification + trailing-dot strip, subgroup year suffix, 2-level
+    parentheadings with the RuleNo suffix, repealed boost zeroing, and the
+    synthesized ruleno masterinfo."""
+    from solr_indexing_spark.docprep.pipelines import act_rule_document
+
+    orders = _tbl(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 300)
+    k = F.col("o_orderkey")
+    ks = k.cast("string")
+    groups = F.concat(
+        F.lit("G"), ks,
+        F.when(k % 3 == 0, F.lit("^Regulations Group|SG")).otherwise(
+            F.lit("^Acts Group|SG")
+        ),
+        ks, F.lit("^Sub Group "), (k % 10).cast("string"),
+    )
+    packed = orders.select(
+        F.concat(F.lit("A"), ks).alias("mid"),
+        F.concat(F.lit("M"), ks).alias("id"),
+        F.lit("Rule").alias("documenttype"),
+        groups.alias("groups"),
+        F.concat((k % 100).cast("string"), F.lit(" Heading text.")).alias(
+            "Heading"
+        ),
+        F.concat(
+            F.lit("P"), ks, F.lit("^Chapter "), (k % 10).cast("string"),
+            F.lit("#"), (k % 10).cast("string"),
+            F.lit("|C"), ks, F.lit("^Part "), ks,
+        ).alias("parentheading"),
+        F.when(
+            k % 7 == 0, F.lit("222210000000000002|TC1^Repealed Act")
+        ).otherwise(F.lit("T|X^Normal Tag")).alias("TaggingInfo"),
+        F.lit("2019").alias("year"),
+    )
+    doc = act_rule_document(packed, doc_type=2)
+    return doc.select(
+        F.col("id").alias("doc_id_str"),
+        "heading",
+        F.col("groups")["group"]["name"].alias("group_name"),
+        F.col("groups")["group"]["subgroup"]["name"].alias("subgroup_name"),
+        F.element_at("parentheadings", 1)["name"].alias("parent_name"),
+        F.element_at("parentheadings", 1)["ordering"].alias("parent_ord"),
+        F.element_at("parentheadings", 1)["subparentheading"]["name"].alias(
+            "subparent_name"
+        ),
+        F.col("documenttypeboost").alias("boost"),
+        F.element_at(F.col("masterinfo.info.ruleno"), 1)["name"].alias(
+            "ruleno_name"
+        ),
+        F.size("taginfo").alias("n_tags"),
+        F.element_at("taginfo", 1)["name"].alias("tag_name"),
     )
 
 
@@ -761,6 +1103,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_concat_agg": _dp_concat_agg,
         "dp_agg_pricing": _dp_agg_pricing,
         "dp_arinfo_parse": _dp_arinfo_parse,
+        "dp_popular_acts": _dp_popular_acts,
+        "dp_iltinfo": _dp_iltinfo,
+        "dp_authors": _dp_authors,
+        # composed per-doctype pipelines (the reference's deliverable)
+        "dp_doc_assembly": _dp_doc_assembly,
+        "dp_actrule_assembly": _dp_actrule_assembly,
         # rows-only (non-SQL-expressible machinery)
         "ix_lineage": _ix_lineage,
         "ix_dictionary": _ix_dictionary,
@@ -1010,11 +1358,17 @@ where a.vec_id < 100 and b.vec_id < 100
 group by 1
 """,
         "dp_slugify": _dp_slugify_sql(),
+        # the dp_* oracles below construct the EXPECTED grammar output
+        # directly from the keys the packed columns were synthesized from —
+        # the Spark side must reproduce them through the real docprep code
         "dp_category_filter": """
-select o_orderpriority, count(*) as n_orders,
-       round(sum(o_totalprice), 2) as total_price
-from orders where o_orderpriority in ('1-URGENT', '2-HIGH')
-group by o_orderpriority
+select o_orderkey,
+  case (o_orderkey % 4) when 0 then '111050000000018392'
+    when 1 then '111050000000018393' else '111050000000018400' end as cat_id,
+  'Prio' || (o_orderkey % 7)::varchar as cat_name,
+  'centax-prio' || (o_orderkey % 7)::varchar as cat_url,
+  (o_orderkey % 2)::int as isprimarycat
+from orders where o_orderkey < 2000 and (o_orderkey % 4) < 3
 """,
         "dp_broadcast_enrich": """
 select coalesce(n.n_name, 'OTHER') as resolved_nation,
@@ -1025,24 +1379,39 @@ left join (select * from nation where n_nationkey < 10) n
 group by 1
 """,
         "dp_sort_key": """
-select o_orderkey,
-  lpad(year(o_orderdate)::varchar, 4, '0')
-  || lpad(o_custkey::varchar, 9, '0')
-  || lpad(o_orderkey::varchar, 10, '0') as sort_key
-from orders order by sort_key limit 20
+with base as (
+  select o_orderkey as k, o_custkey, year(o_orderdate)::varchar as y
+  from orders where o_orderkey < 1000)
+select k as o_orderkey,
+  case when k % 10 = 0 then '0000' || repeat('0', 18) || '000000000000'
+    else y || lpad(o_custkey::varchar, 18, '0')
+      || lpad((k % 2000)::varchar, 4, '0')
+      || lpad((k % 9000)::varchar, 7, '0') end as key_master,
+  case when k % 10 = 0 then '0000' || repeat('0', 18) || '000000000000'
+    else y || lpad(o_custkey::varchar, 18, '0') || '????' || '???????'
+    end as key_centax,
+  case when k % 10 = 0 then '0000' || repeat('0', 18) || '000000000000'
+    else y || lpad(o_custkey::varchar, 18, '0')
+      || lpad((k % 2000)::varchar, 4, '0')
+      || lpad((k % 9000)::varchar, 7, '0') end as key_elt
+from base
 """,
         "dp_window_rownum": """
-select o_custkey, o_orderkey, round(o_totalprice, 2) as price, rk
-from (select o_custkey, o_orderkey, o_totalprice,
-        row_number() over (partition by o_custkey
-                           order by o_totalprice desc, o_orderkey asc) as rk
-      from orders where o_custkey < 100)
-where rk <= 3
+with k as (select o_orderkey from orders where o_orderkey < 300)
+select o_orderkey, 1 as number,
+  'Story' || o_orderkey::varchar as text,
+  'img' || o_orderkey::varchar as image,
+  'E' || o_orderkey::varchar as entrydate,
+  'U ' || o_orderkey::varchar as updateddate,
+  'Head' || o_orderkey::varchar as topstory
+from k
+union all
+select o_orderkey, 2, 'Second', 'i2', 'E2', 'U2', '' from k
 """,
         "dp_static_boost": """
-select case o_orderpriority
-         when '1-URGENT' then 10000 when '2-HIGH' then 8000
-         when '3-MEDIUM' then 5000 else 1500 end as boost,
+select case (o_orderkey % 5)
+         when 0 then 5000 when 1 then 4500
+         when 2 then 4000 when 3 then 3500 else 3200 end as boost,
        count(*) as n_docs
 from orders group by 1
 """,
@@ -1086,25 +1455,42 @@ select p_partkey, (p_partkey + 1000000)::varchar, 'reversed',
 from part where p_partkey < 200
 """,
         "dp_citation_variants": """
-select p_partkey, p_name as v_original,
-       regexp_replace(p_name, '\\s+', '', 'g') as v_nospace,
-       regexp_replace(p_name, '[aeiou]', '', 'g') as v_novowel,
-       upper(regexp_replace(p_name, '\\s+', '-', 'g')) as v_slug_upper
-from part
+with base as (
+  select p_partkey as k,
+    '[' || (1990 + (p_partkey % 30))::varchar || '] '
+      || (p_partkey % 9)::varchar || ' I.T.R. ' || p_partkey::varchar
+      || case when p_partkey % 5 = 0 then ' (Raj)' else '' end as name
+  from part where p_partkey < 400),
+j as (select k, name,
+        regexp_replace(name, ' \\(Raj\\)$', ' (R)') as jname from base)
+select k as p_partkey, 0 as variant_idx, name as variant from j
+union all select k, 1, regexp_replace(name, '[\\[\\]\\(\\)]', '', 'g') from j
+union all select k, 2, regexp_replace(name, '[\\[\\]\\(\\)\\.]', '', 'g') from j
+union all select k, 3, regexp_replace(name, '[\\[\\]\\(\\)\\.]', ' ', 'g') from j
+union all select k, 4, jname from j where k % 5 = 0
+union all select k, 5, regexp_replace(jname, '[\\[\\]\\(\\)]', '', 'g')
+  from j where k % 5 = 0
+union all select k, 6, regexp_replace(jname, '[\\[\\]\\(\\)\\.]', '', 'g')
+  from j where k % 5 = 0
+union all select k, 7, regexp_replace(jname, '[\\[\\]\\(\\)\\.]', ' ', 'g')
+  from j where k % 5 = 0
 """,
         "dp_first_wins": """
-select l_orderkey, l_linenumber, l_partkey from (
-  select l_orderkey, l_linenumber, l_partkey,
-         row_number() over (partition by l_orderkey
-                            order by l_linenumber) as rk
-  from lineitem where l_orderkey < 200)
-where rk = 1
+select o_orderkey, 1 as n_class,
+  'Name' || (o_orderkey % 3)::varchar as class_name,
+  2 as n_sub,
+  'SubB' || o_orderkey::varchar as sub2_name
+from orders where o_orderkey < 500
 """,
         "dp_concat_agg": """
-select l_orderkey,
-       string_agg(l_linenumber::varchar, '~~' order by l_linenumber::varchar)
-         as linenumbers
-from lineitem where l_orderkey < 100 group by l_orderkey
+select o_orderkey,
+  'A' || o_orderkey::varchar || '~~'
+    || case when o_orderkey % 2 = 0
+         then 'B' || o_orderkey::varchar || '~~' else '' end
+    || case when o_orderkey % 3 = 0
+         then 'J' || o_orderkey::varchar || ' ' else '' end as headnotestext,
+  (1 + (o_orderkey % 2 = 0)::int + (o_orderkey % 3 = 0)::int) as n_notes
+from orders where o_orderkey < 500
 """,
         "dp_agg_pricing": """
 select l_returnflag, l_linestatus,
@@ -1116,7 +1502,146 @@ select l_returnflag, l_linestatus,
 from lineitem where l_shipdate <= '1998-09-02'
 group by l_returnflag, l_linestatus
 """,
+        # the oracle carries the REFERENCE dictionary rows for the keys used
+        # (common.ts:26-168; miss-row semantics solrIndexCreation.ts:1149-1164)
+        "dp_popular_acts": """
+select resolved_act_id, resolved_act_name, resolved_act_url, cat_urls,
+       count(*) as n
+from (
+  select
+    case (o_orderkey % 3) when 0 then '102010000000000152'
+      when 1 then '102010000000000131'
+      else '999999999999999999' end as resolved_act_id,
+    case (o_orderkey % 3) when 0 then 'Customs Act, 1962'
+      when 1 then 'Constitution of India'
+      else 'Other Acts' end as resolved_act_name,
+    -- GetUrl strips its char set only as ONE literal sequence
+    -- (common.ts:9-16), so the comma survives — quirk kept
+    case (o_orderkey % 3) when 0 then 'customs-act,-1962'
+      when 1 then 'constitution-of-india'
+      else 'other-acts' end as resolved_act_url,
+    case when (o_orderkey % 3) < 2
+      then 'centax-customs,centax-excise-service-tax'
+      else '' end as cat_urls
+  from orders)
+group by 1, 2, 3, 4
+""",
+        "dp_iltinfo": """
+with b as (
+  select o_orderkey as k,
+    (o_orderkey % 50)::varchar as c1, (o_orderkey % 20)::varchar as c2
+  from orders where o_orderkey < 500)
+select k as o_orderkey,
+  'C' || c1 || '0000' as c1_id,
+  'Country' || c1 as c1_name,
+  (k % 7)::varchar as c1_ord,
+  (k % 7)::int as c1_oi,
+  'C' || c1 || '0000' as c2_pid,
+  'C' || c1 || '0000' || 'D' || c2 || '0000' as art_pid,
+  'Article ' || k::varchar as art_name,
+  'S' || k::varchar || '00' as subj_id,
+  '9' as subj_psub,
+  'subject ' || k::varchar as subj_ord,
+  'S' || k::varchar || '00' as ss_pid,
+  'C' || c1 || '0000' || 'D' || c2 || '0000'
+    || 'A' || k::varchar || '00' || 'S' || k::varchar || '00'
+    || 'T' || k::varchar || '00' as ilt_key
+from b
+""",
+        "dp_authors": """
+with k as (select o_orderkey from orders where o_orderkey < 400)
+select o_orderkey,
+  'A' || o_orderkey::varchar as author_id,
+  'Author ' || o_orderkey::varchar as author_name,
+  'Designation' || (o_orderkey % 5)::varchar as designation,
+  'https://example.org/' || o_orderkey::varchar as social,
+  '/img/' || o_orderkey::varchar || '.png' as image,
+  (o_orderkey % 9)::int as order_int
+from k
+union all
+select o_orderkey, 'B' || o_orderkey::varchar, 'Co Author', '', '', '', 0
+from k
+""",
+        "dp_doc_assembly": _dp_doc_assembly_sql(),
+        "dp_actrule_assembly": """
+with b as (
+  select o_orderkey as k, (o_orderkey % 100)::varchar as h,
+    (o_orderkey % 10)::varchar as m
+  from orders where o_orderkey < 300)
+select 'A' || k::varchar as doc_id_str,
+  case when k % 3 = 0 then 'Regulation - ' || h || ' Heading text'
+       else 'Rule - ' || h || ' Heading text' end as heading,
+  case when k % 3 = 0 then 'Regulations Group'
+       else 'Acts Group' end as group_name,
+  'Sub Group ' || m as subgroup_name,
+  'Chapter ' || m as parent_name,
+  m as parent_ord,
+  'Part ' || k::varchar || ' - RuleNo :' || h || ' Heading text.'
+    as subparent_name,
+  case when k % 7 = 0 then 0 else 8000 end as boost,
+  case when k % 3 = 0 then 'Regulation - ' || h || ' Heading text'
+       else 'Rule - ' || h || ' Heading text' end as ruleno_name,
+  1 as n_tags,
+  case when k % 7 = 0 then 'Repealed Act' else 'Normal Tag' end as tag_name
+from b
+""",
     }
+
+
+def _dp_doc_assembly_sql() -> str:
+    """Expected composed CaseLaws document, derived directly from the keys.
+    The searchboosttext replica walks the same component recipe
+    (solrIndexCreation.ts:2753-2771) with the synthesized inputs."""
+    sbt = (
+        "'111050000000018392 centax customs 1 appeal no ' || ymd || ' ' "
+        "|| dd || ' ' || mm || ' ' || yyyy || ' ' || court_words "
+        "|| ' Case ' || k::varchar || ' Sub ' || k::varchar"
+    )
+    return f"""
+with b as (
+  select o_orderkey as k,
+    year(o_orderdate)::varchar as yyyy,
+    strftime(o_orderdate, '%Y%m%d') as ymd,
+    strftime(o_orderdate, '%d') as dd,
+    strftime(o_orderdate, '%m') as mm,
+    strftime(o_orderdate, '%d-%m-%Y') as disp,
+    lpad(o_custkey::varchar, 18, '0') as jid,
+    case (o_orderkey % 5)
+      when 0 then 'supreme court sc 1' when 1 then 'high court hc 2'
+      when 2 then 'aar a 3' when 3 then 'itat i 4'
+      else '999 oc other court 5' end as court_words,
+    case (o_orderkey % 5)
+      when 0 then 'SC' when 1 then 'HC' when 2 then 'A' when 3 then 'I'
+      else 'Other Court' end as court_name,
+    case (o_orderkey % 5)
+      when 0 then 5000 when 1 then 4500 when 2 then 4000 when 3 then 3500
+      else 3200 end as boost
+  from orders where o_orderkey < 300),
+c as (select *,
+    yyyy || jid || lpad((k % 100)::varchar, 4, '0')
+      || lpad((k % 1000)::varchar, 7, '0') as citkey,
+    {sbt} as sbt
+  from b)
+select 'S' || k::varchar as doc_id_str,
+  'M' || k::varchar as mid,
+  'case laws' as documenttype,
+  'Case ' || k::varchar || '[' || disp || ']' as heading,
+  citkey as sortbycitation,
+  '0000' || repeat('0', 18) || '000000000000' as sortbycitationcentax,
+  citkey as sortheadingnumber,
+  boost,
+  1 as n_categories,
+  'Customs' as cat_name,
+  court_name,
+  ymd as documentdate,
+  ymd as displaydocumentdatestring,
+  'H' || k::varchar || '~~ ' || sbt as headnotestext,
+  'w1 w2' as wordphrases,
+  '<document><p>Body' || k::varchar || '</p>'
+    || '<div id=''xmlmetadata'' style=''display:none;''>' || sbt
+    || '</div></document>' as fullcontent
+from c
+"""
 
 
 def _ta_quality_sql() -> str:

@@ -86,55 +86,102 @@ def tf_norm(tf: np.ndarray, doclen: np.ndarray, avgdl: float) -> np.ndarray:
     return tf * (K1 + 1.0) / (tf + K1 * (1.0 - B_PARAM + B_PARAM * doclen / avgdl))
 
 
-def _make_block_builder(avgdl: float, num_buckets: int, block_size: int):
-    """Streaming (mapInPandas) block builder over a partition that is
-    hash-partitioned by (term, salt) and sorted by (term, salt, doc_id).
+def _make_block_builder(
+    avgdl: float,
+    num_buckets: int,
+    block_size: int,
+    head_terms: list[str] | None = None,
+    salt_range: int = 1 << 16,
+):
+    """Streaming (mapInArrow) block builder over a partition that is
+    hash-partitioned by (term, salt) and sorted by (term[, salt], doc_id).
 
-    Why mapInPandas and not groupBy().applyInPandas: a web corpus has one
+    ``head_terms``: when given, rows do NOT carry a salt column — salt is
+    recomputed here as ``doc_id // salt_range`` for head terms (Arrow
+    ``is_in`` kernel, zero per-row Python) and 0 otherwise, matching the
+    partitioning expression exactly. When None, a ``salt`` column is
+    expected in the input (the >4096-heads fallback).
+
+    Why mapInArrow and not groupBy().applyInPandas: a web corpus has one
     posting-list group per distinct term — millions of tiny groups — and
     applyInPandas pays a Python-call + pandas-construction cost per GROUP.
     Here each Python call processes a whole Arrow batch of many groups;
-    group boundaries are found vectorized (numpy change-point scan), and a
-    group that straddles a batch boundary is carried over in a buffer.
-    Measured at 30k docs/5.9M postings: block stage 27s → ~8s on local[8],
-    and the per-group overhead no longer caps core scaling.
-    """
-    cols = [f.name for f in POSTINGS_SCHEMA.fields]
+    group boundaries are found vectorized, and a group that straddles a
+    batch boundary is carried over in a buffer.
 
-    def blocks_for(pdf: pd.DataFrame) -> pd.DataFrame:
+    Why Arrow batches and not pandas (round-2 change): the mapInPandas
+    path materialized a Python str OBJECT per row for the term column —
+    at 60 M (doc, term) rows that is 60 M allocations plus object-header
+    memory traffic, and the change-point scan degraded to per-row PyUnicode
+    comparisons. Arrow keeps terms in contiguous string buffers end-to-end:
+    comparisons run as C++ kernels over sequential memory
+    (pc.not_equal on shifted slices), strings are materialized only once
+    per GROUP (bucket hashing), and per-block output terms are a zero-copy
+    ``take``. This directly reduces the stage's DRAM traffic — the
+    scaling-efficiency bottleneck measured in BENCH/BASELINE.md §2.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    out_schema = to_arrow_schema(POSTINGS_SCHEMA)
+    head_arr = (
+        pa.array(sorted(head_terms)) if head_terms else None
+    )
+
+    def salts_of(rb: "pa.RecordBatch", ids_t: np.ndarray) -> np.ndarray:
+        names = rb.schema.names
+        if "salt" in names:
+            return rb.column(names.index("salt")).to_numpy().astype(np.int64)
+        out = np.zeros(rb.num_rows, dtype=np.int64)
+        if head_arr is not None and len(head_arr):
+            is_head = pc.is_in(
+                rb.column(names.index("term")), value_set=head_arr
+            ).to_numpy(zero_copy_only=False)
+            out[is_head] = ids_t[is_head] // salt_range
+        return out
+
+    def blocks_for(rb: "pa.RecordBatch") -> "pa.RecordBatch":
         t0 = time.monotonic_ns()
-        terms_t = pdf["term"].to_numpy()
-        salts_t = pdf["salt"].to_numpy().astype(np.int64)
-        ids_t = pdf["doc_id"].to_numpy().astype(np.int64)
-        dls_t = pdf["doclen"].to_numpy().astype(np.float64)
-        nt = len(pdf)
-        if "tf" in pdf.columns:
-            tfs_t = pdf["tf"].to_numpy().astype(np.int64)
+        names = rb.schema.names
+        nt = rb.num_rows
+        term_a = rb.column(names.index("term"))
+        ids_t = rb.column(names.index("doc_id")).to_numpy().astype(np.int64)
+        salts_t = salts_of(rb, ids_t)
+        dls_t = rb.column(names.index("doclen")).to_numpy().astype(np.float64)
+        if "tf" in names:
+            tfs_t = rb.column(names.index("tf")).to_numpy().astype(np.int64)
         else:  # token-occurrence shape: each row counts 1
             tfs_t = np.ones(nt, dtype=np.int64)
         # ---- run-length tf: rows sorted by (term, salt, doc_id); equal-
-        # triple runs collapse, summing their tf (doc-local pre-agg rows
-        # arrive unique, raw token streams arrive with tf=1 per occurrence
-        # — both shapes reduce here, inside the one term-partitioned
-        # exchange, replacing a whole groupBy shuffle).
+        # triple runs collapse, summing their tf — inside the one
+        # term-partitioned exchange, replacing a whole groupBy shuffle.
         rchange = np.empty(nt, dtype=bool)
         rchange[0] = True
-        rchange[1:] = (
-            (terms_t[1:] != terms_t[:-1])
-            | (salts_t[1:] != salts_t[:-1])
-            | (ids_t[1:] != ids_t[:-1])
-        )
+        if nt > 1:
+            tdiff = pc.not_equal(
+                term_a.slice(1), term_a.slice(0, nt - 1)
+            ).to_numpy(zero_copy_only=False)
+            rchange[1:] = (
+                tdiff
+                | (salts_t[1:] != salts_t[:-1])
+                | (ids_t[1:] != ids_t[:-1])
+            )
         rstarts = np.flatnonzero(rchange)
         tfs = np.add.reduceat(tfs_t, rstarts).astype(np.int64)
-        terms = terms_t[rstarts]
         salts = salts_t[rstarts]
         doc_ids = ids_t[rstarts]
         doclens = dls_t[rstarts]
+        term_runs = term_a.take(pa.array(rstarts))
         norms = tf_norm(tfs, doclens, avgdl)
         n = len(rstarts)
         change = np.empty(n, dtype=bool)
         change[0] = True
-        change[1:] = (terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1])
+        if n > 1:
+            gdiff = pc.not_equal(
+                term_runs.slice(1), term_runs.slice(0, n - 1)
+            ).to_numpy(zero_copy_only=False)
+            change[1:] = gdiff | (salts[1:] != salts[:-1])
         gstarts = np.flatnonzero(change)
         gends = np.append(gstarts[1:], n)
 
@@ -164,16 +211,12 @@ def _make_block_builder(avgdl: float, num_buckets: int, block_size: int):
         dls_enc = vbyte_encode_chunked(doclens.astype(np.uint64), ndocs)
 
         # ---- positional payload (only when the tokenizer shipped it) ----
-        if "positions" in pdf.columns:
-            pos_col = pdf["positions"].to_numpy()[rstarts]
-            pos_counts = np.fromiter(
-                (len(p) for p in pos_col), dtype=np.int64, count=n
-            )
-            flat = (
-                np.concatenate([np.asarray(p, dtype=np.int64) for p in pos_col])
-                if pos_counts.sum()
-                else np.empty(0, dtype=np.int64)
-            )
+        if "positions" in names:
+            sel = rb.column(names.index("positions")).take(pa.array(rstarts))
+            pos_counts = pc.list_value_length(sel).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            flat = pc.list_flatten(sel).to_numpy().astype(np.int64)
             # delta within each posting's position list
             if len(flat):
                 deltas = np.empty_like(flat)
@@ -192,7 +235,8 @@ def _make_block_builder(avgdl: float, num_buckets: int, block_size: int):
             cnt_enc = [b""] * n_blocks
 
         # ---- per-group scalars, fanned to blocks ------------------------
-        group_terms = terms[gstarts]
+        # strings materialize ONCE per group (bucket crc32), not per row
+        group_terms = term_runs.take(pa.array(gstarts)).to_pylist()
         group_buckets = np.fromiter(
             (_term_bucket_py(t, num_buckets) for t in group_terms),
             dtype=np.int64,
@@ -202,61 +246,75 @@ def _make_block_builder(avgdl: float, num_buckets: int, block_size: int):
         # by contiguous doc range — shard k covers ids < shard k+1.
         block_ids = (salts[gstarts][g_of_block] << 20) + block_in_g
 
-        out = pd.DataFrame(
-            {
-                "term": terms[bstarts],
-                "bucket": group_buckets[g_of_block].astype(np.int32),
-                "block_id": block_ids.astype(np.int32),
-                "first_doc_id": doc_ids[bstarts],
-                "last_doc_id": doc_ids[bends - 1],
-                "n_docs": ndocs.astype(np.int32),
-                "doc_gaps": gaps_enc,
-                "tfs": tfs_enc,
-                "doclens": dls_enc,
-                "block_max_tf_norm": bmax,
-                "sum_tf": sum_tf,
-                "build_us": np.zeros(n_blocks, dtype=np.int64),
-                "positions": pos_enc,
-                "pos_counts": cnt_enc,
-            },
-            columns=cols,
+        # amortize the partition's wall over its blocks (lineage metric)
+        us = (time.monotonic_ns() - t0) // 1000 // max(n_blocks, 1)
+        return pa.RecordBatch.from_arrays(
+            [
+                term_runs.take(pa.array(bstarts)),  # zero-copy block terms
+                pa.array(group_buckets[g_of_block].astype(np.int32)),
+                pa.array(block_ids.astype(np.int32)),
+                pa.array(doc_ids[bstarts]),
+                pa.array(doc_ids[bends - 1]),
+                pa.array(ndocs.astype(np.int32)),
+                pa.array(gaps_enc, type=pa.binary()),
+                pa.array(tfs_enc, type=pa.binary()),
+                pa.array(dls_enc, type=pa.binary()),
+                pa.array(bmax),
+                pa.array(sum_tf.astype(np.int64)),
+                pa.array(np.full(n_blocks, us, dtype=np.int64)),
+                pa.array(pos_enc, type=pa.binary()),
+                pa.array(cnt_enc, type=pa.binary()),
+            ],
+            schema=out_schema,
         )
-        if n_blocks:
-            # amortize the partition's wall over its blocks (lineage metric)
-            out["build_us"] = (time.monotonic_ns() - t0) // 1000 // n_blocks
-        return out
+
+    def _concat(rbs: list) -> "pa.RecordBatch":
+        tbl = pa.Table.from_batches(rbs).combine_chunks()
+        bs = tbl.to_batches()
+        if len(bs) == 1:
+            return bs[0]
+        # combine_chunks yields one chunk per column; to_batches can still
+        # split on max_chunksize — re-batch through a single table pass
+        return tbl.to_batches(max_chunksize=tbl.num_rows)[0]
 
     def stream(batches):
         # `pending` accumulates batches whose trailing group may continue in
         # the next batch. It is a LIST concatenated once per flush — a naive
         # concat-per-batch carry buffer is O(batches²) row copies for any
-        # posting group spanning many Arrow batches (head terms always do),
-        # which profiling showed as a multi-minute stall at 240k docs.
-        pending: list[pd.DataFrame] = []
-        for pdf in batches:
-            if not len(pdf):
+        # posting group spanning many Arrow batches (head terms always do).
+        pending: list = []
+        for rb in batches:
+            nt = rb.num_rows
+            if nt == 0:
                 continue
-            last_term = pdf["term"].iloc[-1]
-            last_salt = pdf["salt"].iloc[-1]
-            tail = (pdf["term"] == last_term) & (pdf["salt"] == last_salt)
-            not_tail = np.flatnonzero(~tail.to_numpy())
+            names = rb.schema.names
+            term_a = rb.column(names.index("term"))
+            if "salt" in names:
+                salt_a = rb.column(names.index("salt"))
+                tail = pc.and_(
+                    pc.equal(term_a, term_a[nt - 1]),
+                    pc.equal(salt_a, salt_a[nt - 1]),
+                ).to_numpy(zero_copy_only=False)
+            else:
+                # no salt column: term-only carry is conservative (a head
+                # term's trailing span carries a bit more), always correct
+                tail = pc.equal(term_a, term_a[nt - 1]).to_numpy(
+                    zero_copy_only=False
+                )
+            not_tail = np.flatnonzero(~tail)
             split = int(not_tail[-1]) + 1 if len(not_tail) else 0
             if split == 0:
-                pending.append(pdf)  # whole batch continues one group
+                pending.append(rb)  # whole batch continues one group
                 continue
-            head, tail_df = pdf.iloc[:split], pdf.iloc[split:]
+            head, tail_rb = rb.slice(0, split), rb.slice(split)
             if pending:
-                head = pd.concat(pending + [head], ignore_index=True)
+                head = _concat(pending + [head])
                 pending = []
             yield blocks_for(head)
-            pending = [tail_df]
+            pending = [tail_rb]
         if pending:
-            rest = (
-                pd.concat(pending, ignore_index=True)
-                if len(pending) > 1
-                else pending[0]
-            )
-            if len(rest):
+            rest = _concat(pending) if len(pending) > 1 else pending[0]
+            if rest.num_rows:
                 yield blocks_for(rest)
 
     return stream
@@ -386,8 +444,13 @@ def build_index(
     # ---- docs table write (pass 1: ids + tokenize-for-doclen + write).
     # No .persist(): the docs parquet IS the materialization — later stages
     # re-read the compact columnar file instead of a token-array cache.
+    # _tbytes (text length) is persisted as a 4-byte column so the lineage
+    # aggregation below reads ONLY narrow columns — computing
+    # sum(length(text)) at lineage time would decompress the whole text
+    # column a second time (measured as a full extra scan of the corpus)
     docs.select(
-        "doc_id", "url", "text", "lang", "doclen", "_pid"
+        "doc_id", "url", "text", "lang", "doclen", "_pid",
+        F.length("text").alias("_tbytes"),
     ).write.mode("overwrite").parquet(f"{out_dir}/docs")
     docs_wall = time.monotonic() - t_start
     # ids are materialized in the parquet — release the range-shuffle cache
@@ -407,7 +470,7 @@ def build_index(
             F.max("doc_id").alias("doc_hi"),
             F.count("*").alias("n_docs"),
             F.sum("doclen").alias("token_count"),
-            F.sum(F.length("text")).alias("bytes"),
+            F.sum("_tbytes").alias("bytes"),
         )
         .collect()
     )
@@ -481,6 +544,11 @@ def build_index(
         # the build). Sampling with a 0.5 safety margin over-salts a few
         # near-head terms (harmless) and cannot miss a true head term in
         # expectation; exactness is not required, only skew protection.
+        #
+        # (A whole-partition _pid-isin sample was tried here to get parquet
+        # file pruning — it concentrated the tokenize into k tasks and ran
+        # 13× SLOWER than the spread row sample; the row sample keeps all
+        # partitions' parallelism and measures ~2 s at 240k docs.)
         frac = min(1.0, max(0.02, 2_000_000.0 / max(total_tokens, 1)))
         scaled = salt_df_threshold * frac * 0.5
         head_terms = [
@@ -492,19 +560,41 @@ def build_index(
             .filter(F.col("cf") > scaled)
             .collect()
         ]
+    # ---- the ONE big shuffle: hash-partition the token stream by
+    # (term, salt), sort within partitions by (term, doc_id), then
+    # stream-build tf runs + blocks (many groups per Python call).
+    #
+    # salt is NOT carried as a row column: it is fully derived from
+    # (term ∈ head set, doc_id // salt_range), so it rides the PARTITIONING
+    # EXPRESSION only and the builder recomputes it per batch with an
+    # Arrow is_in kernel. That keeps the sorted row one 8-byte slot
+    # narrower through the exchange + sort — the memory-bandwidth-bound
+    # stage (BENCH/BASELINE.md §2) — and sorting by (term, doc_id) is
+    # order-identical to (term, salt, doc_id) because salt is monotonic in
+    # doc_id within a term. Above 4096 head terms the literal isin would
+    # bloat the plan; the head set is then shipped via a broadcast variable
+    # lookup inside the partition expression fallback (carry column path).
+    #
+    # (Partition sizing note: an explicit cache-sized partition count for
+    # this exchange was measured at 240k docs — 8 MB targets ran 1.8×
+    # SLOWER than the pinned shuffle-partition default; per-task fixed
+    # costs (Python stream setup, per-bucket parquet files) dominate any
+    # LLC-residency gain here, so the exchange keeps the session default.)
     salt_expr = (F.col("doc_id") / F.lit(salt_range)).cast("int")
-    if head_terms and len(head_terms) <= 256:
-        # few head terms → literal isin stays in codegen, no join
-        exploded = exploded.withColumn(
-            "salt",
+    carry_salt = bool(head_terms) and len(head_terms) > 4096
+    if not head_terms:
+        part_cols = [F.col("term")]
+    elif not carry_salt:
+        part_cols = [
+            F.col("term"),
             F.when(F.col("term").isin(head_terms), salt_expr).otherwise(
                 F.lit(0)
             ),
-        )
-    elif head_terms:
-        # many head terms (low threshold at web scale): a literal list
-        # would bloat every task's serialized plan — broadcast-join the
-        # head set instead (one map-side hash probe per row)
+        ]
+    else:
+        # degenerate many-head fallback: broadcast-join the head set and
+        # carry the salt column (wide rows, but the case implies a
+        # pathological salt_df_threshold)
         head_df = spark.createDataFrame(
             [(t,) for t in head_terms], "term string"
         ).withColumn("_is_head", F.lit(True))
@@ -516,17 +606,20 @@ def build_index(
             )
             .drop("_is_head")
         )
-    else:
-        exploded = exploded.withColumn("salt", F.lit(0).cast("int"))
+        part_cols = [F.col("term"), F.col("salt")]
 
-    # ---- the ONE big shuffle: hash-partition the token stream by
-    # (term, salt), sort within partitions by (term, salt, doc_id), then
-    # stream-build tf runs + blocks (many groups per Python call)
-    builder = _make_block_builder(avgdl, num_buckets, block_size)
+    builder = _make_block_builder(
+        avgdl, num_buckets, block_size,
+        head_terms=None if carry_salt else head_terms,
+        salt_range=salt_range,
+    )
+    sort_cols = (
+        ["term", "salt", "doc_id"] if carry_salt else ["term", "doc_id"]
+    )
     blocks = (
-        exploded.repartition("term", "salt")
-        .sortWithinPartitions("term", "salt", "doc_id")
-        .mapInPandas(builder, POSTINGS_SCHEMA)
+        exploded.repartition(*part_cols)
+        .sortWithinPartitions(*sort_cols)
+        .mapInArrow(builder, POSTINGS_SCHEMA)
     )
     blocks.write.mode("overwrite").partitionBy("bucket").parquet(
         f"{out_dir}/postings"

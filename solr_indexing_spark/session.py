@@ -39,6 +39,13 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.extraJavaOptions", "-Djava.io.tmpdir=/tmp")
+        # shuffle/spill codec: lz4 (default) measured FASTER than zstd here
+        # (zstd's compression CPU exceeds its bandwidth savings on the
+        # token exchange: 2110 vs 2361 docs/s at 4 cores, 240k docs).
+        .config(
+            "spark.io.compression.codec",
+            os.environ.get("SPARK_GRAFT_IO_CODEC", "lz4"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
