@@ -1031,6 +1031,502 @@ def _dp_actrule_assembly(spark, sf_dir):
     )
 
 
+def _dp_cirnot_assembly(spark, sf_dir):
+    """The COMPOSED CirNot pipeline (docprep.pipelines.cirnot_document,
+    solrIndexCreation.ts:3803-4699): packed 18+4 year, group-keyed
+    boost tiers, the part-1 TagInfo quirk, state master, single-tree
+    iltinfo names — flattened to SQL-comparable scalars."""
+    from solr_indexing_spark.docprep.pipelines import cirnot_document
+
+    orders = _tbl(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 300)
+    k = F.col("o_orderkey")
+    ks = k.cast("string")
+    groups = (
+        F.when(
+            k % 3 == 0,
+            F.lit("P|111050000000000113^Circular|SG1^GST Circulars"),
+        )
+        .when(
+            k % 3 == 1,
+            F.lit("P|111050000000000110^Notification|SG2^Rates"),
+        )
+        .otherwise(F.lit("P|G9^Press Release|SG3^Misc"))
+    )
+    packed = orders.select(
+        F.concat(F.lit("C"), ks).alias("mid"),
+        F.concat(F.lit("M"), ks).alias("id"),
+        F.lit("Circular").alias("documenttype"),
+        F.concat(
+            F.lpad(F.col("o_custkey").cast("string"), 18, "0"),
+            F.lit("2019"),
+        ).alias("year"),
+        groups.alias("groups"),
+        F.concat(F.lit("Circ "), ks).alias("Heading"),
+        F.lit("31|subject^Levy~2$32|subject^Scope~5").alias("CirNotSubject"),
+        F.lit(
+            "102010000000000337|act^Income-tax Act, 1961~3"
+            "$000000000000000001|act^Unknown Act~9"
+        ).alias("ActAssociation"),
+        F.concat(F.lit("T1^A|T"), ks, F.lit("^Beta "), ks).alias("TagInfo"),
+        F.lit("ST1|state^Delhi").alias("masterinfo"),
+        F.lit("100^India|200^Mauritius|300^Article 13|x|y").alias("iltinfo"),
+        F.concat(
+            F.date_format("o_orderdate", "yyyyMMdd"), F.lit("^"),
+            F.date_format("o_orderdate", "dd-MM-yyyy"),
+        ).alias("documentdate"),
+    )
+    doc = cirnot_document(packed, templateid="T")
+    info = F.col("masterinfo")["info"]
+    return doc.select(
+        F.col("id").alias("doc_id_str"),
+        F.col("year")["id"].alias("year_id"),
+        F.col("year")["name"].alias("year_name"),
+        F.col("documenttypeboost").alias("boost"),
+        F.col("groups")["group"]["name"].alias("group_name"),
+        F.col("groups")["group"]["subgroup"]["name"].alias("subgroup_name"),
+        "heading",
+        F.element_at(info["act"], 1)["name"].alias("act0_name"),
+        F.element_at(info["act"], 2)["name"].alias("act1_name"),
+        F.element_at(info["cirnot"], 1)["name"].alias("cirnot_name"),
+        F.element_at(info["state"], 1)["name"].alias("state_name"),
+        F.element_at("taginfo", 1)["id"].alias("tag_id"),
+        F.element_at("taginfo", 1)["name"].alias("tag_name"),
+        F.element_at(
+            F.col("searchiltcitation")["formattediltcitation"], 1
+        )["name"].alias("silt"),
+        "documentdate",
+        "displaydocumentdatestring",
+    )
+
+
+def _dp_article_assembly(spark, sf_dir):
+    """The COMPOSED Article pipeline (docprep.pipelines.article_document,
+    solrIndexCreation.ts:4701-5920): authors '@'-grammar, '|'-split
+    classifications, AAA standards/substandards, the 4-or-8
+    similarfullcitation fan-out, per-subject suggests."""
+    from solr_indexing_spark.docprep.pipelines import article_document
+
+    orders = _tbl(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 300)
+    k = F.col("o_orderkey")
+    ks = k.cast("string")
+    fc = F.concat(
+        F.lit("[2021] "), (k % 9).cast("string"), F.lit(" GSTL "),
+        (k % 1000).cast("string"),
+        F.when(k % 2 == 0, F.lit("J")).otherwise(F.lit("")),
+    )
+    packed = orders.select(
+        F.concat(F.lit("A"), ks).alias("mid"),
+        F.concat(F.lit("M"), ks).alias("id"),
+        F.lit("Article").alias("documenttype"),
+        F.lit("2021").alias("year"),
+        F.lit("31|subject^GST Law~2$32|subject^Credit~5").alias(
+            "ExpertSubject"
+        ),
+        F.lit("102010000000000337|act^Income-tax Act, 1961~3$x|y^z").alias(
+            "actassociations"
+        ),
+        F.lit("AS1^Tax Articles").alias("articlesubjectinfo"),
+        F.lit("77|cited^CIT v. X#20040201@SubH").alias("DDA_Caselaw"),
+        F.lit("C1|Levy$C2|Scope").alias("GSTSubjectID"),
+        F.lit("SUB1|Sub^Name@GRP1~Group Name#3:2020").alias(
+            "AAAAssociation"
+        ),
+        F.concat(
+            F.lit("AU"), ks, F.lit("@Author "), ks,
+            F.lit("~Advocate^http://x#img.png!2"),
+        ).alias("AuthorName"),
+        fc.alias("fullcitation"),
+        F.concat(F.lit("Art "), ks).alias("Heading"),
+    )
+    doc = article_document(packed, templateid="T")
+    info = F.col("masterinfo")["info"]
+    return doc.select(
+        F.col("id").alias("doc_id_str"),
+        F.element_at(info["authors"], 1)["name"].alias("author_name"),
+        F.element_at(info["authors"], 1)["orderInteger"].alias(
+            "author_order"
+        ),
+        F.element_at(info["classification"], 1)["name"].alias("class0"),
+        F.element_at(info["standards"], 1)["id"].alias("std_id"),
+        F.element_at(info["substandards"], 1)["name"].alias("substd_name"),
+        F.element_at(info["substandards"], 1)["year"].alias("substd_year"),
+        F.element_at(info["act"], 1)["id"].alias("act0_id"),
+        F.size(F.col("otherinfo")["similarfullcitation"]).alias(
+            "n_similar"
+        ),
+        F.element_at(F.col("otherinfo")["fullcitation"], 1)["name"].alias(
+            "fc_name"
+        ),
+        F.element_at(F.col("associates")["subject"], 1)["name"].alias(
+            "subject_assoc"
+        ),
+        F.element_at(F.col("associates")["casereferred"], 1)["date"].alias(
+            "cr_date"
+        ),
+        F.size("Suggest").alias("n_suggest"),
+        "heading",
+    )
+
+
+def _dp_form_assembly(spark, sf_dir):
+    """The COMPOSED Form pipeline (docprep.pipelines.form_document,
+    solrIndexCreation.ts:3194-3801): Form- heading prefix, the
+    any-'0000'-substring year quirk, language pdf urls + filenamepath
+    overwrite, repealed boost zeroing, formno url."""
+    from solr_indexing_spark.docprep.pipelines import form_document
+
+    orders = _tbl(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 300)
+    k = F.col("o_orderkey")
+    ks = k.cast("string")
+    packed = orders.select(
+        F.concat(F.lit("F"), ks).alias("mid"),
+        F.concat(F.lit("M"), ks).alias("id"),
+        F.lit("Form").alias("documenttype"),
+        F.concat(F.lit("/x/FormITR"), ks, F.lit(".pdf")).alias(
+            "filenamepath"
+        ),
+        F.when(k % 2 == 0, F.lit("2021")).otherwise(
+            F.concat(
+                F.lpad(F.col("o_custkey").cast("string"), 18, "0"),
+                F.lit("2019"),
+            )
+        ).alias("year"),
+        F.lit("G1^Forms|SG1^ITR Forms").alias("groups"),
+        F.concat((k % 90 + 10).cast("string"), F.lit("A Certificate")).alias(
+            "Heading"
+        ),
+        F.concat(
+            F.lit("M1|language^Hindi,Guide#2$M2|form^ITR-"), ks,
+            F.lit("#5$frmtyp"),
+        ).alias("masterinfo"),
+        F.when(
+            k % 7 == 0, F.lit("222210000000000002|TC1^Repealed Act")
+        ).otherwise(F.lit("T|X^Normal")).alias("TaggingInfo"),
+    )
+    doc = form_document(packed, templateid="T")
+    info = F.col("masterinfo")["info"]
+    return doc.select(
+        F.col("id").alias("doc_id_str"),
+        "heading",
+        F.coalesce(F.col("year")["name"], F.lit("")).alias("year_name"),
+        F.col("groups")["group"]["name"].alias("group_name"),
+        F.col("groups")["group"]["subgroup"]["name"].alias("subgroup_name"),
+        F.element_at(info["language"], 1)["url"].alias("lang_url"),
+        F.element_at(info["form"], 1)["name"].alias("form_name"),
+        F.element_at(info["formno"], 1)["url"].alias("formno_url"),
+        F.col("filenamepath").alias("filepath"),
+        F.col("documenttypeboost").alias("boost"),
+    )
+
+
+def _dp_treaty_assembly(spark, sf_dir):
+    """The COMPOSED Treaty pipeline (docprep.pipelines.treaty_document,
+    solrIndexCreation.ts:5922-6496): year-from-groups, the 40/30
+    sortheadingnumber prefixes, treaty ilt + flags, searchiltcitation
+    with the year suffix."""
+    from solr_indexing_spark.docprep.pipelines import treaty_document
+
+    orders = _tbl(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 300)
+    k = F.col("o_orderkey")
+    ks = k.cast("string")
+    yr = (2000 + k % 20).cast("string")
+    groups = F.concat(
+        F.lit("G1^Treaties#1|SG^DTAA#2|"),
+        F.when(
+            k % 2 == 0, F.lit("111050000000011236^Old Treaties#3")
+        ).otherwise(F.lit("111050000000011127^Model Treaties#3")),
+        F.lit("|YY^"), yr,
+    )
+    packed = orders.select(
+        F.concat(F.lit("TR"), ks).alias("mid"),
+        F.concat(F.lit("M"), ks).alias("id"),
+        F.lit("Treaty").alias("documenttype"),
+        groups.alias("groups"),
+        F.lit("Yes").alias("Hasfile"),
+        F.concat(F.lit("N"), ks).alias("sortheadingnumber"),
+        F.concat(
+            F.lit("100^India|200^Mauritius|300^Article "),
+            (k % 30).cast("string"), F.lit("#2|x|y"),
+        ).alias("iltassociation"),
+        F.lit("in|mu").alias("flaginfo"),
+        F.concat(F.lit("Treaty "), ks).alias("Heading"),
+    )
+    doc = treaty_document(packed, doc_type=8, templateid="T")
+    ilt0 = F.element_at(F.col("masterinfo")["iltinfoes"], 1)
+    return doc.select(
+        F.col("id").alias("doc_id_str"),
+        F.col("year")["id"].alias("year_id"),
+        F.col("sortheadingnumber").alias("shn"),
+        F.col("groups")["group"]["subgroup"]["subsubgroup"]["name"].alias(
+            "subsub_name"
+        ),
+        ilt0["country2"]["name"].alias("c2_name"),
+        ilt0["article"]["ordering"].alias("art_ord"),
+        ilt0["article"]["pid"].alias("art_pid"),
+        ilt0["flag1"]["name"].alias("flag1"),
+        ilt0["flag2"]["url"].alias("flag2_url"),
+        F.element_at(
+            F.col("searchiltcitation")["formattediltcitation"], 1
+        )["name"].alias("silt"),
+        F.element_at("parentheadings", 1)["hasfile"].alias("hasfile"),
+        F.col("documenttypeboost").alias("boost"),
+    )
+
+
+def _dp_finder_assembly(spark, sf_dir):
+    """The COMPOSED CaseFinder digest fan-out
+    (docprep.pipelines.case_finder_documents, solrIndexCreation.ts:
+    8408-9137): one document per DTDInfo '|'-entry (row EXPLODE), the
+    broken popular-acts lookup (always Other Acts), the digest '~' ilt
+    grammar, heading '[display-date]' suffix."""
+    from solr_indexing_spark.docprep.pipelines import case_finder_documents
+
+    orders = _tbl(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 300)
+    k = F.col("o_orderkey")
+    ks = k.cast("string")
+    dtd = F.concat(
+        F.lit("DG"), ks,
+        F.lit(
+            "$100~India^200~United States of America"
+            "^300~Article 7 Business Profits^x~y^x~y^PS9~z"
+        ),
+        F.lit("@TLD "), ks, F.lit("^<p>B"), ks, F.lit("</p>"),
+        F.lit("|DG"), ks, F.lit("b$101~France@H2^C2"),
+    )
+    packed = orders.select(
+        F.concat(F.lit("CASE"), ks).alias("mid"),
+        F.concat(F.lit("M"), ks).alias("id"),
+        dtd.alias("DTDInfo"),
+        F.lit(".htm").alias("documentformat"),
+        F.lit("2020").alias("year"),
+        F.lit(
+            "102010000000000337|act^Income-tax Act, 1961~3$x|y^z"
+        ).alias("actassociations"),
+        F.concat(
+            F.date_format("o_orderdate", "yyyyMMdd"), F.lit("^"),
+            F.date_format("o_orderdate", "dd-MM-yyyy"),
+        ).alias("documentdate"),
+        F.concat(F.lit("Case "), ks).alias("Heading"),
+        F.lit("C1^SC^Supreme Court").alias("court"),
+        F.lit("2020|9^ITR|3|150").alias("citation"),
+    )
+    docs = case_finder_documents(packed, templateid="T")
+    info = F.col("masterinfo")["info"]
+    return docs.select(
+        F.col("id").alias("digest_id"),
+        "caseid",
+        "documenttype",
+        "tldheading",
+        "fullcontent",
+        F.element_at(info["act"], 1)["name"].alias("act_name"),
+        F.element_at(info["court"], 1)["shortName"].alias("court_short"),
+        F.coalesce(
+            F.element_at(
+                F.col("searchiltcitation")["formattediltcitation"], 1
+            )["name"],
+            F.lit(""),
+        ).alias("silt"),
+        "heading",
+        F.col("documenttypeboost").alias("boost"),
+    )
+
+
+def _dp_news_assembly(spark, sf_dir):
+    """The COMPOSED News pipeline (docprep.pipelines.news_document,
+    solrIndexCreation.ts:8067-8406): 3-level '#'-ordering groups,
+    untrimmed heading, whitelist-without-final-filter categories."""
+    from solr_indexing_spark.docprep.pipelines import news_document
+
+    orders = _tbl(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 300)
+    k = F.col("o_orderkey")
+    ks = k.cast("string")
+    packed = orders.select(
+        F.concat(F.lit("N"), ks).alias("mid"),
+        F.concat(F.lit("M"), ks).alias("id"),
+        F.lit("News").alias("documenttype"),
+        F.lit("111050000000018392^Centax Customs%1").alias(
+            "categoriescentax"
+        ),
+        F.concat(
+            F.lit("G1^Top News#1|SG1^GST News#"), (k % 9).cast("string"),
+            F.lit("|SSG1^Rates#3"),
+        ).alias("groups"),
+        F.concat(F.lit("  Update "), ks, F.lit("  ")).alias("Heading"),
+        F.concat(F.lit("T1^A|T2^B"), ks).alias("TagInfo"),
+        F.concat(
+            F.date_format("o_orderdate", "yyyyMMdd"), F.lit("^x")
+        ).alias("documentdate"),
+    )
+    doc = news_document(packed, templateid="T")
+    g = F.col("groups")["group"]
+    return doc.select(
+        F.col("id").alias("doc_id_str"),
+        F.col("heading").alias("heading"),
+        F.element_at("categories", 1)["name"].alias("cat_name"),
+        g["name"].alias("group_name"),
+        g["subgroup"]["name"].alias("subgroup_name"),
+        g["subgroup"]["ordering"].alias("subgroup_ord"),
+        g["subgroup"]["subsubgroup"]["url"].alias("subsub_url"),
+        F.element_at("taginfo", 1)["name"].alias("tag_name"),
+        "documentdate",
+    )
+
+
+def _dp_commentary_assembly(spark, sf_dir):
+    """The COMPOSED Commentary pipeline (docprep.pipelines.
+    commentary_document, solrIndexCreation.ts:6498-7148): group-keyed
+    boost/documenttype tiers, DTC name overrides, the act-list
+    section-associate bug, gated parentheadings."""
+    from solr_indexing_spark.docprep.pipelines import commentary_document
+
+    orders = _tbl(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 300)
+    k = F.col("o_orderkey")
+    ks = k.cast("string")
+    groups = (
+        F.when(
+            k % 3 == 0,
+            F.lit("111050000000000971^Models & Drafts#1|SG^Drafts#2"),
+        )
+        .when(
+            k % 3 == 1,
+            F.lit("G^Comm#1|111050000000000153^X#2|SS^Ch#3|S3^Y#4"),
+        )
+        .otherwise(F.lit("G^Comm#1|SG^Plain#2"))
+    )
+    packed = orders.select(
+        F.concat(F.lit("CM"), ks).alias("mid"),
+        F.concat(F.lit("M"), ks).alias("id"),
+        F.lit("Commentary").alias("documenttype"),
+        F.lit("2011").alias("year"),
+        groups.alias("groups"),
+        F.lit("A1|act^Income Tax Act$A2#S9|section^9 Residence~4").alias(
+            "DDA_Acts"
+        ),
+        F.concat(F.lit("Head "), ks).alias("Heading"),
+        F.concat(
+            F.lit("111050000000099999^Chap "), (k % 9).cast("string"),
+            F.lit("#"), (k % 9).cast("string"),
+        ).alias("parentidheading"),
+        F.lit("FileYes").alias("ParentFile"),
+    )
+    doc = commentary_document(packed, templateid="T")
+    info = F.col("masterinfo")["info"]
+    return doc.select(
+        F.col("id").alias("doc_id_str"),
+        F.coalesce(F.col("documenttype"), F.lit("<null>")).alias(
+            "doctype_out"
+        ),
+        F.col("documenttypeboost").alias("boost"),
+        F.col("groups")["group"]["name"].alias("group_name"),
+        F.col("groups")["group"]["subgroup"]["name"].alias("subgroup_name"),
+        F.size(F.col("associates")["act"]).alias("n_act_assocs"),
+        F.size(F.col("associates")["section"]).alias("n_sec_assocs"),
+        F.element_at(info["section"], 1)["id"].alias("sec_id"),
+        F.element_at("parentheadings", 1)["name"].alias("parent_name"),
+        F.element_at("parentheadings", 1)["hasfile"].alias("hasfile"),
+        "heading",
+    )
+
+
+def _dp_aaa_assembly(spark, sf_dir):
+    """The COMPOSED AAA pipeline (docprep.pipelines.aaa_document,
+    solrIndexCreation.ts:7656-8064): the boolean-year quirk, offset
+    groups, masterinfo pools + appended associations, paragraphinfo."""
+    from solr_indexing_spark.docprep.pipelines import aaa_document
+
+    orders = _tbl(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 300)
+    k = F.col("o_orderkey")
+    ks = k.cast("string")
+    packed = orders.select(
+        F.concat(F.lit("AA"), ks).alias("mid"),
+        F.concat(F.lit("M"), ks).alias("id"),
+        F.lit("AAA").alias("documenttype"),
+        F.lit("2021").alias("year"),
+        F.when(
+            k % 2 == 0, F.lit("P|111050000000017331^Std|SG^AS")
+        ).otherwise(F.lit("P|G9^Other|SG^AS")).alias("groups"),
+        F.concat(
+            F.lit("I1|industry^Textiles#2$S1|Account Standard^AS "),
+            (k % 40).cast("string"), F.lit(": Topic#4"),
+        ).alias("masterinfo"),
+        F.concat(
+            F.lit("S2|Account Standard^AS 9: Other#"), (k % 9).cast("string")
+        ).alias("AAAAssociation"),
+        F.concat(
+            F.lpad(F.col("o_custkey").cast("string"), 18, "0"),
+            F.lit("C"), ks, F.lit("|"), (k % 50).cast("string"),
+            F.lit("@Para "), ks,
+        ).alias("paragraphinfo"),
+        (k % 3000).cast("string").alias("sortheadingnumber"),
+    )
+    doc = aaa_document(packed, templateid="T")
+    info = F.col("masterinfo")["info"]
+    return doc.select(
+        F.col("id").alias("doc_id_str"),
+        F.col("year")["id"].alias("year_id"),
+        F.col("year")["name"].alias("year_name"),
+        F.col("documenttypeboost").alias("boost"),
+        F.col("groups")["group"]["name"].alias("group_name"),
+        F.element_at(info["industry"], 1)["name"].alias("industry_name"),
+        F.element_at(info["accountingstandard"], 1)["name"].alias(
+            "as0_name"
+        ),
+        F.element_at(info["accountingstandard"], 2)["shortName"].alias(
+            "as1_short"
+        ),
+        F.element_at(info["accountingstandard"], 2)["orderInteger"].alias(
+            "as1_order"
+        ),
+        F.element_at("paragraphinfo", 1)["pid"].alias("para_pid"),
+        F.element_at("paragraphinfo", 1)["cid"].alias("para_cid"),
+        F.element_at("paragraphinfo", 1)["ordering"].alias("para_ord"),
+        F.col("sortnumber").alias("sortnumber"),
+    )
+
+
+def _dp_partial_assembly(spark, sf_dir):
+    """The COMPOSED CaseLawsPartial pipeline (docprep.pipelines.
+    case_laws_partial_document, solrIndexCreation.ts:2957-3192):
+    act/section partial-update doc + the CaComparison 1956→2013 map."""
+    from solr_indexing_spark.docprep.pipelines import (
+        case_laws_partial_document,
+    )
+
+    orders = _tbl(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 300)
+    k = F.col("o_orderkey")
+    ks = k.cast("string")
+    packed = orders.select(
+        F.concat(F.lit("P"), ks).alias("mid"),
+        F.concat(F.lit("M"), ks).alias("id"),
+        F.concat(
+            F.lit("102010000000000152|act^Customs Act, 1962~3"
+                  "$102010000000000152#S"),
+            ks, F.lit("|section^"), (k % 90 + 10).cast("string"),
+            F.lit(" Refunds~4"),
+        ).alias("actassociations"),
+        F.concat(
+            F.lit("X^Y^S"), ks, F.lit("^Sec "), ks,
+            F.lit(" Old^102010000000000112|A^B^T"), ks,
+            F.lit("^Sec "), ks, F.lit(" New^102010000000000793$x|y"),
+        ).alias("CaComparison"),
+    )
+    doc = case_laws_partial_document(packed)
+    info = F.col("masterinfo")["info"]
+    ca = F.element_at("ca_comparison", 1)
+    return doc.select(
+        F.col("id").alias("doc_id_str"),
+        F.element_at(info["act"], 1)["id"].alias("act_id"),
+        F.element_at(info["section"], 1)["name"].alias("sec_name"),
+        F.element_at(info["section"], 1)["actsectionid"].alias(
+            "actsectionid"
+        ),
+        F.size("Suggest").alias("n_suggest"),
+        ca["id"].alias("ca1956_id"),
+        ca["name"].alias("ca1956_name"),
+        F.element_at(ca["ca2013section"], 1)["name"].alias("ca2013_name"),
+    )
+
+
 def _mm_features(spark, sf_dir):
     from solr_indexing_spark.multimodal import (
         MEDIA_SCHEMA,
@@ -1109,6 +1605,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # composed per-doctype pipelines (the reference's deliverable)
         "dp_doc_assembly": _dp_doc_assembly,
         "dp_actrule_assembly": _dp_actrule_assembly,
+        "dp_cirnot_assembly": _dp_cirnot_assembly,
+        "dp_article_assembly": _dp_article_assembly,
+        "dp_form_assembly": _dp_form_assembly,
+        "dp_treaty_assembly": _dp_treaty_assembly,
+        "dp_finder_assembly": _dp_finder_assembly,
+        "dp_news_assembly": _dp_news_assembly,
+        "dp_commentary_assembly": _dp_commentary_assembly,
+        "dp_aaa_assembly": _dp_aaa_assembly,
+        "dp_partial_assembly": _dp_partial_assembly,
         # rows-only (non-SQL-expressible machinery)
         "ix_lineage": _ix_lineage,
         "ix_dictionary": _ix_dictionary,
@@ -1563,6 +2068,15 @@ select o_orderkey, 'B' || o_orderkey::varchar, 'Co Author', '', '', '', 0
 from k
 """,
         "dp_doc_assembly": _dp_doc_assembly_sql(),
+        "dp_cirnot_assembly": _dp_cirnot_assembly_sql(),
+        "dp_article_assembly": _dp_article_assembly_sql(),
+        "dp_form_assembly": _dp_form_assembly_sql(),
+        "dp_treaty_assembly": _dp_treaty_assembly_sql(),
+        "dp_finder_assembly": _dp_finder_assembly_sql(),
+        "dp_news_assembly": _dp_news_assembly_sql(),
+        "dp_commentary_assembly": _dp_commentary_assembly_sql(),
+        "dp_aaa_assembly": _dp_aaa_assembly_sql(),
+        "dp_partial_assembly": _dp_partial_assembly_sql(),
         "dp_actrule_assembly": """
 with b as (
   select o_orderkey as k, (o_orderkey % 100)::varchar as h,
@@ -1641,6 +2155,182 @@ select 'S' || k::varchar as doc_id_str,
     || '<div id=''xmlmetadata'' style=''display:none;''>' || sbt
     || '</div></document>' as fullcontent
 from c
+"""
+
+
+def _dp_cirnot_assembly_sql() -> str:
+    return """
+select 'C' || o_orderkey::varchar as doc_id_str,
+  lpad(o_custkey::varchar, 18, '0') as year_id,
+  '2019' as year_name,
+  case (o_orderkey % 3) when 0 then 3000 when 1 then 2500
+    else 1500 end as boost,
+  case (o_orderkey % 3) when 0 then 'Circular' when 1 then 'Notification'
+    else 'Press Release' end as group_name,
+  case (o_orderkey % 3) when 0 then 'GST Circulars' when 1 then 'Rates'
+    else 'Misc' end as subgroup_name,
+  'Circ ' || o_orderkey::varchar as heading,
+  'Income-tax Act, 1961' as act0_name,
+  'Other Acts' as act1_name,
+  'Circ ' || o_orderkey::varchar as cirnot_name,
+  'Delhi' as state_name,
+  'T' || o_orderkey::varchar as tag_id,
+  'Beta ' || o_orderkey::varchar as tag_name,
+  '100200300' as silt,
+  strftime(o_orderdate, '%Y%m%d') as documentdate,
+  strftime(o_orderdate, '%Y%m%d') as displaydocumentdatestring
+from orders where o_orderkey < 300
+"""
+
+
+def _dp_article_assembly_sql() -> str:
+    return """
+select 'A' || o_orderkey::varchar as doc_id_str,
+  'Author ' || o_orderkey::varchar as author_name,
+  2 as author_order,
+  'Levy' as class0,
+  'GRP1' as std_id,
+  'Sub-Name' as substd_name,
+  '2020' as substd_year,
+  '102010000000000337' as act0_id,
+  case when o_orderkey % 2 = 0 then 8 else 4 end as n_similar,
+  '[2021] ' || (o_orderkey % 9)::varchar || ' GSTL '
+    || (o_orderkey % 1000)::varchar
+    || case when o_orderkey % 2 = 0 then 'J' else '' end as fc_name,
+  'Tax Articles' as subject_assoc,
+  '20040201' as cr_date,
+  3 as n_suggest,
+  'Art ' || o_orderkey::varchar as heading
+from orders where o_orderkey < 300
+"""
+
+
+def _dp_form_assembly_sql() -> str:
+    return """
+select 'F' || o_orderkey::varchar as doc_id_str,
+  'Form - ' || (o_orderkey % 90 + 10)::varchar || 'A Certificate'
+    as heading,
+  case when o_orderkey % 2 = 0 then '2021' else '' end as year_name,
+  'form' as group_name,
+  'ITR Forms' as subgroup_name,
+  '/x/FormITR' || o_orderkey::varchar || '-Hindi.pdf' as lang_url,
+  'ITR-' || o_orderkey::varchar as form_name,
+  'form- ' || (o_orderkey % 90 + 10)::varchar || 'a certificate'
+    as formno_url,
+  '/x/FormITR' || o_orderkey::varchar || '-Hindi.pdf' as filepath,
+  case when o_orderkey % 7 = 0 then 0 else 7500 end as boost
+from orders where o_orderkey < 300
+"""
+
+
+def _dp_treaty_assembly_sql() -> str:
+    return """
+select 'TR' || o_orderkey::varchar as doc_id_str,
+  (2000 + o_orderkey % 20)::varchar as year_id,
+  case when o_orderkey % 2 = 0 then '40' else '30' end
+    || 'n' || o_orderkey::varchar as shn,
+  case when o_orderkey % 2 = 0 then 'Repealed or Old Treaties'
+    else 'Model Treaties' end as subsub_name,
+  'Mauritius' as c2_name,
+  '2' as art_ord,
+  '100200' as art_pid,
+  'IN' as flag1,
+  'mu' as flag2_url,
+  '100200300' || repeat('0', 36) || (2000 + o_orderkey % 20)::varchar
+    as silt,
+  'yes' as hasfile,
+  2000 as boost
+from orders where o_orderkey < 300
+"""
+
+
+def _dp_finder_assembly_sql() -> str:
+    return """
+with parts as (select unnest([1, 2]) as part)
+select
+  'DG' || o_orderkey::varchar
+    || case when part = 2 then 'b' else '' end as digest_id,
+  'CASE' || o_orderkey::varchar as caseid,
+  'digest' as documenttype,
+  case when part = 1 then 'TLD ' || o_orderkey::varchar
+    else 'H2' end as tldheading,
+  case when part = 1 then '<p>B' || o_orderkey::varchar || '</p>'
+    else 'C2' end as fullcontent,
+  'Other Acts' as act_name,
+  'SC' as court_short,
+  case when part = 1 then '100200300' || repeat('0', 36)
+    else '101' || repeat('0', 72) end as silt,
+  'Case ' || o_orderkey::varchar || '['
+    || strftime(o_orderdate, '%d-%m-%Y') || ']' as heading,
+  0 as boost
+from orders cross join parts where o_orderkey < 300
+"""
+
+
+def _dp_news_assembly_sql() -> str:
+    return """
+select 'N' || o_orderkey::varchar as doc_id_str,
+  '  Update ' || o_orderkey::varchar || '  ' as heading,
+  'Centax Customs' as cat_name,
+  'Top News' as group_name,
+  'GST News' as subgroup_name,
+  (o_orderkey % 9)::varchar as subgroup_ord,
+  'rates' as subsub_url,
+  'B' || o_orderkey::varchar as tag_name,
+  strftime(o_orderdate, '%Y%m%d') as documentdate
+from orders where o_orderkey < 300
+"""
+
+
+def _dp_commentary_assembly_sql() -> str:
+    return """
+select 'CM' || o_orderkey::varchar as doc_id_str,
+  case when o_orderkey % 3 = 0 then 'form' else 'commentary' end
+    as doctype_out,
+  case when o_orderkey % 3 = 0 then 7500 else 900 end as boost,
+  case when o_orderkey % 3 = 0 then 'form' else 'Comm' end as group_name,
+  case (o_orderkey % 3) when 0 then 'Models & Drafts'
+    when 1 then 'DTC Bill, 2010' else 'Plain' end as subgroup_name,
+  2 as n_act_assocs,
+  0 as n_sec_assocs,
+  'S9' as sec_id,
+  'Chap ' || (o_orderkey % 9)::varchar as parent_name,
+  'yes' as hasfile,
+  'Head ' || o_orderkey::varchar as heading
+from orders where o_orderkey < 300
+"""
+
+
+def _dp_aaa_assembly_sql() -> str:
+    return """
+select 'AA' || o_orderkey::varchar as doc_id_str,
+  'true' as year_id, 'true' as year_name,
+  case when o_orderkey % 2 = 0 then 3000 else 950 end as boost,
+  case when o_orderkey % 2 = 0 then 'Std' else 'Other' end as group_name,
+  'Textiles' as industry_name,
+  'AS ' || (o_orderkey % 40)::varchar || ': Topic' as as0_name,
+  'AS 9' as as1_short,
+  (o_orderkey % 9)::int as as1_order,
+  lpad(o_custkey::varchar, 18, '0') as para_pid,
+  'C' || o_orderkey::varchar as para_cid,
+  (o_orderkey % 50)::int as para_ord,
+  (o_orderkey % 3000)::int as sortnumber
+from orders where o_orderkey < 300
+"""
+
+
+def _dp_partial_assembly_sql() -> str:
+    return """
+select 'P' || o_orderkey::varchar as doc_id_str,
+  '102010000000000152' as act_id,
+  'Section - ' || (o_orderkey % 90 + 10)::varchar || ' Refunds'
+    as sec_name,
+  '102010000000000152S' || o_orderkey::varchar as actsectionid,
+  2 as n_suggest,
+  'S' || o_orderkey::varchar as ca1956_id,
+  'Sec-' || o_orderkey::varchar || ' Old' as ca1956_name,
+  'Sec-' || o_orderkey::varchar || ' New' as ca2013_name
+from orders where o_orderkey < 300
 """
 
 

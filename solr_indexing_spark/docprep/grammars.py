@@ -49,7 +49,11 @@ FINAL_CATEGORY_IDS = [
 ]
 
 
-def parse_categories(col: Column | str) -> Column:
+def parse_categories(
+    col: Column | str,
+    whitelist: bool = True,
+    subcat_id_from_first: bool = False,
+) -> Column:
     """categoriescentax 'id^name%flag|id^name$…' → array<struct> of
     {id, name, url, isprimarycat, subcategory{id,name,url}}
     (solrIndexCreation.ts:196-299).
@@ -58,6 +62,15 @@ def parse_categories(col: Column | str) -> Column:
     '|' (the no-pipe branch never checks, ts:285-296); fema/company ids read
     names from segment 1/2, competition/tp/ilt use constants, default reads
     segment 0/1.
+
+    ``whitelist=False`` is the CirNot/Article-family variant
+    (ts:3846-3938): the same switch grammar with NO 9-id whitelist —
+    every parsed element is kept (the final 3-id filter still applies
+    downstream).
+
+    ``subcat_id_from_first=True`` is the FormIndex quirk (ts:3384-3385):
+    the default-branch SUBcategory id reads segment 0 (= the category's
+    own id) while its name still reads segment 1.
     """
     c = _c(col).cast("string")
     elems = F.filter(F.split(c, "\\$"), lambda e: e != "")
@@ -129,7 +142,7 @@ def parse_categories(col: Column | str) -> Column:
         sub_id = F.coalesce(
             const_id,
             F.when(special, seg_id(_ea(parts, 3))).otherwise(
-                seg_id(_ea(parts, 2))
+                seg_id(_ea(parts, 1 if subcat_id_from_first else 2))
             ),
         )
         sub_name = F.coalesce(
@@ -151,7 +164,7 @@ def parse_categories(col: Column | str) -> Column:
         piped = F.instr(e, "|") > 1
         # whitelist applies only to piped elements (ts:219 `continue`);
         # failing elements become null and are filtered out below
-        keep = ~piped | is_required(main_cat)
+        keep = (~piped | is_required(main_cat)) if whitelist else F.lit(True)
         return F.when(keep & piped, with_pipe).when(keep, no_pipe)
 
     return F.filter(F.transform(elems, parse_elem), lambda p: p.isNotNull())

@@ -594,6 +594,538 @@ def parse_iltinfo(col: Column | str) -> Column:
     )
 
 
+def parse_iltinfo_cirnot(col: Column | str) -> Column:
+    """CirNot iltinfo variant (ts:4275-4473) → struct{trees, names}.
+
+    Differs from the CaseLaws ``parse_iltinfo``:
+    - no '#ordering' suffix handling — ordering is name.toLowerCase();
+    - no '-pSubId' on subject ids;
+    - in the '$'-list branch, empty country2/article/subject/subsubject
+      default to id ``'000000000000000000'`` and filled pids
+      (article/subject pid = c1.id+c2.id including the default id,
+      subsubject pid = subject.id);
+    - a non-'$' input builds ONE tree with ``''`` defaults and NO pid on
+      article/subject (ts:4414-4436) — even an empty string yields one
+      all-empty tree (JS ``''.split('|')`` → ['']);
+    - a NULL column takes the '$' branch with no entries (JS
+      ``undefined?.indexOf`` → undefined ≠ -1) → empty arrays;
+    - searchiltcitation names concat the five ids for EVERY tree (no
+      non-empty-country1 filter, ts:4373,4463).
+    """
+    c = _c(col)
+    ZERO = "000000000000000000"
+
+    def build(e: Column, dollar: bool) -> Column:
+        p = F.split(e, r"\|")
+        f0, f1, f2, f3, f4 = (_f(p, i) for i in range(1, 6))
+
+        def idname(f: Column):
+            cr = F.split(f, r"\^")
+            return _e(_f(cr, 1)), _e(_f(cr, 2))
+
+        def filled(f: Column, id_: Column, pid: Column, typ: str,
+                   name: Column) -> Column:
+            return F.when(
+                F.length(_e(f)) > 5,
+                _ilt(id_, pid, F.lit(""), typ, name, F.lower(name)),
+            )
+
+        c1_id, c1_name = idname(f0)
+        country1 = _ilt(
+            c1_id, F.lit(""), F.lit(""), "country1", c1_name,
+            F.lower(c1_name),
+        )
+        c2_id, c2_name = idname(f1)
+        c2_def_id = F.lit(ZERO) if dollar else F.lit("")
+        c2_eff = F.when(F.length(_e(f1)) > 5, c2_id).otherwise(c2_def_id)
+        country2 = F.coalesce(
+            filled(f1, c2_id, c1_id, "country2", c2_name),
+            _ilt(c2_def_id, c1_id if dollar else F.lit(""), F.lit(""),
+                 "country2", F.lit(""), F.lit("")),
+        )
+        a_id, a_name = idname(f2)
+        s_id, s_name = idname(f3)
+        ss_id, ss_name = idname(f4)
+        if dollar:
+            c12 = F.concat(c1_id, c2_eff)
+            article = F.coalesce(
+                filled(f2, a_id, c12, "article", a_name),
+                _ilt(F.lit(ZERO), c12, F.lit(""), "article", F.lit(""),
+                     F.lit("")),
+            )
+            subject = F.coalesce(
+                filled(f3, s_id, c12, "subject", s_name),
+                _ilt(F.lit(ZERO), c12, F.lit(""), "subject", F.lit(""),
+                     F.lit("")),
+            )
+            s_eff = F.when(F.length(_e(f3)) > 5, s_id).otherwise(F.lit(ZERO))
+            subsubject = F.coalesce(
+                filled(f4, ss_id, s_eff, "subsubject", ss_name),
+                _ilt(F.lit(ZERO), s_eff, F.lit(""), "subsubject", F.lit(""),
+                     F.lit("")),
+            )
+        else:
+            article = F.coalesce(
+                filled(f2, a_id, F.lit(""), "article", a_name),
+                _ilt_empty("article"),
+            )
+            subject = F.coalesce(
+                filled(f3, s_id, F.lit(""), "subject", s_name),
+                _ilt_empty("subject"),
+            )
+            s_eff = F.when(F.length(_e(f3)) > 5, s_id).otherwise(F.lit(""))
+            subsubject = F.coalesce(
+                filled(f4, ss_id, s_eff, "subsubject", ss_name),
+                _ilt_empty("subsubject"),
+            )
+        return F.struct(
+            country1.alias("country1"), country2.alias("country2"),
+            article.alias("article"), subject.alias("subject"),
+            subsubject.alias("subsubject"),
+        )
+
+    dollar_trees = F.when(
+        c.isNotNull(), F.transform(F.split(c, r"\$"), lambda e: build(e, True))
+    ).otherwise(
+        F.array().cast(
+            "array<struct<country1:%(i)s,country2:%(i)s,article:%(i)s,"
+            "subject:%(i)s,subsubject:%(i)s>>" % {"i": _ILT_DDL}
+        )
+    )
+    single_tree = F.array(build(F.coalesce(c, F.lit("")), False))
+    trees = F.when(
+        c.isNull() | (F.instr(c, "$") > 0), dollar_trees
+    ).otherwise(single_tree)
+    names = F.transform(
+        trees,
+        lambda t: F.concat(
+            t["country1"]["id"], t["country2"]["id"], t["article"]["id"],
+            t["subject"]["id"], t["subsubject"]["id"],
+        ),
+    )
+    return F.struct(trees.alias("trees"), names.alias("names"))
+
+
+def parse_aaa_standards(col: Column | str) -> Column:
+    """Article AAAAssociation variant (ts:5194-5232) → struct{standards,
+    substandards}. Element = ``subid|subname@groupid~groupname#order:year``:
+    standards from the '~' group block (name before '#'), substandards from
+    the '|' block with pid = group id, ordering/orderInteger/year from the
+    '#order:year' tail. Null column → struct of nulls (the reference leaves
+    the fields unassigned)."""
+    c = _c(col)
+    elems = F.filter(F.split(c, r"\$"), lambda e: e != "")
+
+    def group_parts(e: Column):
+        at = F.split(e, "@")
+        groupinfo = F.split(_f(at, 2), "~")
+        standard = F.split(_f(at, 1), r"\|")
+        gid = F.trim(_e(_f(groupinfo, 1)))
+        gname_blk = _e(_f(groupinfo, 2))
+        gname = F.trim(_e(_f(F.split(gname_blk, "#"), 1)))
+        tail = _f(F.split(gname_blk, "#"), 2)
+        return gid, gname, tail, standard
+
+    def ok(e: Column) -> Column:
+        at = F.split(e, "@")
+        standard = F.split(_f(at, 1), r"\|")
+        return _e(_f(standard, 1)) != ""
+
+    kept = F.filter(elems, ok)
+
+    def std(e: Column) -> Column:
+        gid, gname, _tail, _standard = group_parts(e)
+        return F.struct(
+            gid.alias("id"),
+            F.lit("standards").alias("type"),
+            gname.alias("name"),
+            gname.alias("shortName"),
+            F.lower(gname).alias("ordering"),
+            slugify(F.lower(gname)).alias("url"),
+        )
+
+    def sub(e: Column) -> Column:
+        gid, _gname, tail, standard = group_parts(e)
+        name = F.regexp_replace(
+            F.trim(_e(_f(standard, 2))), r"\^", "-"
+        )
+        ordering = F.coalesce(_f(F.split(tail, ":"), 1), F.lit("0"))
+        year = F.coalesce(_f(F.split(tail, ":"), 2), F.lit(""))
+        return F.struct(
+            F.trim(_e(_f(standard, 1))).alias("id"),
+            gid.alias("pid"),
+            F.lit("substandards").alias("type"),
+            name.alias("name"),
+            name.alias("shortName"),
+            ordering.alias("ordering"),
+            F.coalesce(
+                _f(F.split(tail, ":"), 1).try_cast("int"), F.lit(0)
+            ).alias("orderInteger"),
+            year.alias("year"),
+            slugify(F.lower(name)).alias("url"),
+        )
+
+    return F.when(
+        c.isNotNull(),
+        F.struct(
+            F.transform(kept, std).alias("standards"),
+            F.transform(kept, sub).alias("substandards"),
+        ),
+    )
+
+
+def parse_aaa_standards_commentary(col: Column | str) -> Column:
+    """Commentary AAAAssociation variant (ts:6647-6692) → struct{standards,
+    substandards}. Like the Article variant but: standards DEDUP on group
+    id (first wins); no '#ordering'/year parsing (ordering = lowercase
+    name, orderInteger 0); substandard url slugs the PRE-'^' text of the
+    sub name. Null column → struct of nulls."""
+    c = _c(col)
+    elems = F.filter(F.split(c, r"\$"), lambda e: e != "")
+
+    def parts(e: Column):
+        at = F.split(e, "@")
+        groupinfo = F.split(_f(at, 2), "~")
+        standard = F.split(_f(at, 1), r"\|")
+        return (
+            _e(_f(groupinfo, 1)),
+            _e(_f(groupinfo, 2)),
+            standard,
+        )
+
+    kept = F.filter(elems, lambda e: _e(_f(F.split(_f(F.split(e, "@"), 1), r"\|"), 1)) != "")
+    gids = F.transform(kept, lambda e: parts(e)[0])
+
+    def std(e: Column, i: Column) -> Column:
+        gid, gname, _s_ = parts(e)
+        # dedup: keep only the FIRST element carrying this group id
+        first_idx = F.array_position(gids, gid)
+        return F.when(
+            first_idx == i,
+            F.struct(
+                gid.alias("id"),
+                F.lit("standards").alias("type"),
+                gname.alias("name"),
+                gname.alias("shortName"),
+                F.lower(gname).alias("ordering"),
+                F.lit(0).alias("orderInteger"),
+                slugify(F.lower(gname)).alias("url"),
+            ),
+        )
+
+    def sub(e: Column) -> Column:
+        gid, _g, standard = parts(e)
+        raw = F.trim(_e(_f(standard, 2)))
+        name = F.regexp_replace(raw, r"\^", "-")
+        return F.struct(
+            F.trim(_e(_f(standard, 1))).alias("id"),
+            gid.alias("pid"),
+            F.lit("substandards").alias("type"),
+            name.alias("name"),
+            name.alias("shortName"),
+            F.lower(name).alias("ordering"),
+            F.lit(0).alias("orderInteger"),
+            slugify(_e(_f(F.split(raw, r"\^"), 1))).alias("url"),
+        )
+
+    stds = F.filter(
+        F.zip_with(
+            kept,
+            F.sequence(F.lit(1), F.greatest(F.size(kept), F.lit(1))),
+            lambda e, i: std(e, i),
+        ),
+        lambda s: s.isNotNull(),
+    )
+    return F.when(
+        c.isNotNull(),
+        F.struct(
+            stds.alias("standards"),
+            F.transform(kept, sub).alias("substandards"),
+        ),
+    )
+
+
+def parse_iltinfo_article(col: Column | str) -> Column:
+    """Article iltassociation variant (ts:5516-5730) → struct{trees,
+    names}. Per-element parsing matches the CaseLaws grammar ('#'
+    name-ordering on countries, '-pSubId' on subject in the '$' branch)
+    but with the CirNot-style branching: '$'-list entries default empty
+    sub-fields to id ``'000000000000000000'`` with pids filled; a
+    non-'$' input (including empty — but NOT null, which takes the '$'
+    branch with no entries... the reference would crash on null; we treat
+    null as no entries) builds ONE tree with '' defaults, no pid on
+    article, pid only on filled subject; names concat the five ids for
+    every tree."""
+    c = _c(col)
+    ZERO = "000000000000000000"
+
+    def build(e: Column, dollar: bool) -> Column:
+        p = F.split(e, r"\|")
+        f0, f1, f2, f3, f4 = (_f(p, i) for i in range(1, 6))
+
+        def idname(f: Column):
+            cr = F.split(f, r"\^")
+            return _e(_f(cr, 1)), _f(cr, 2)
+
+        def name_ord(nm: Column):
+            has = F.instr(_e(nm), "#") > 0
+            return (
+                F.when(has, _f(F.split(nm, "#"), 1)).otherwise(nm),
+                F.when(has, _f(F.split(nm, "#"), 2)).otherwise(nm),
+                F.coalesce(
+                    F.when(
+                        has,
+                        _f(F.split(nm, "#"), 2).try_cast("double")
+                        .try_cast("int"),
+                    ).otherwise(F.lit(0)),
+                    F.lit(0),
+                ),
+            )
+
+        c1_id, c1_nm = idname(f0)
+        c1_name, c1_ord, c1_oi = name_ord(c1_nm)
+        country1 = _ilt(
+            c1_id, F.lit(""), F.lit(""), "country1", c1_name, c1_ord, c1_oi
+        )
+        c2_id, c2_nm = idname(f1)
+        c2_name, c2_ord, c2_oi = name_ord(c2_nm)
+        c2_def = F.lit(ZERO) if dollar else F.lit("")
+        c2_eff = F.when(F.length(_e(f1)) > 5, c2_id).otherwise(c2_def)
+        country2 = F.when(
+            F.length(_e(f1)) > 5,
+            _ilt(c2_id, c1_id, F.lit(""), "country2", c2_name, c2_ord,
+                 c2_oi),
+        ).otherwise(
+            _ilt(c2_def, c1_id if dollar else F.lit(""), F.lit(""),
+                 "country2", F.lit(""), F.lit(""))
+        )
+        # article: the '#' test is on the WHOLE field (ts:5566)
+        a_id, a_nm = idname(f2)
+        a_has = F.instr(_e(f2), "#") > 0
+        a_name = F.when(a_has, _f(F.split(a_nm, "#"), 1)).otherwise(a_nm)
+        a_ord = F.when(a_has, _f(F.split(a_nm, "#"), 2)).otherwise(F.lit(""))
+        c12 = F.concat(c1_id, c2_eff)
+        article = F.when(
+            F.length(_e(f2)) > 5,
+            _ilt(a_id, c12 if dollar else F.lit(""), F.lit(""), "article",
+                 a_name, a_ord),
+        ).otherwise(
+            _ilt(F.lit(ZERO) if dollar else F.lit(""),
+                 c12 if dollar else F.lit(""), F.lit(""), "article",
+                 F.lit(""), F.lit(""))
+        )
+        s_idraw, s_nm = idname(f3)
+        if dollar:
+            s_has_dash = F.instr(_e(s_idraw), "-") > 0
+            s_id = F.when(
+                s_has_dash, _f(F.split(s_idraw, "-"), 1)
+            ).otherwise(s_idraw)
+            s_psub = F.when(
+                s_has_dash, _f(F.split(s_idraw, "-"), 2)
+            ).otherwise(F.lit(""))
+            s_name, s_ord = s_nm, F.lower(_e(s_nm))
+        else:
+            s_id, s_psub = s_idraw, F.lit("")
+            s_has = F.instr(_e(f3), "#") > 0
+            s_name = F.when(s_has, _f(F.split(s_nm, "#"), 1)).otherwise(s_nm)
+            s_ord = F.when(
+                s_has, _f(F.split(s_nm, "#"), 2)
+            ).otherwise(F.lit(""))
+        subject = F.when(
+            F.length(_e(f3)) > 5,
+            _ilt(s_id, c12, s_psub, "subject", s_name, s_ord),
+        ).otherwise(
+            _ilt(F.lit(ZERO) if dollar else F.lit(""),
+                 c12 if dollar else F.lit(""), F.lit(""), "subject",
+                 F.lit(""), F.lit(""))
+        )
+        s_eff = F.when(F.length(_e(f3)) > 5, s_id).otherwise(
+            F.lit(ZERO) if dollar else F.lit("")
+        )
+        ss_id, ss_nm = idname(f4)
+        ss_has = F.instr(_e(f4), "#") > 0
+        ss_name = F.when(ss_has, _f(F.split(ss_nm, "#"), 1)).otherwise(ss_nm)
+        ss_ord = F.when(
+            ss_has, _f(F.split(ss_nm, "#"), 2)
+        ).otherwise(F.lit(""))
+        subsubject = F.when(
+            F.length(_e(f4)) > 5,
+            _ilt(ss_id, s_eff, F.lit(""), "subsubject", ss_name, ss_ord),
+        ).otherwise(
+            _ilt(F.lit(ZERO) if dollar else F.lit(""), s_eff, F.lit(""),
+                 "subsubject", F.lit(""), F.lit(""))
+        )
+        return F.struct(
+            country1.alias("country1"), country2.alias("country2"),
+            article.alias("article"), subject.alias("subject"),
+            subsubject.alias("subsubject"),
+        )
+
+    empty = F.array().cast(
+        "array<struct<country1:%(i)s,country2:%(i)s,article:%(i)s,"
+        "subject:%(i)s,subsubject:%(i)s>>" % {"i": _ILT_DDL}
+    )
+    dollar_trees = F.transform(F.split(c, r"\$"), lambda e: build(e, True))
+    single_tree = F.array(build(F.coalesce(c, F.lit("")), False))
+    # null/'' → no trees ('' is falsy in the reference's !!-guards);
+    # '$'-list → per element; else one tree
+    trees = (
+        F.when(c.isNull() | (c == ""), empty)
+        .when(F.instr(c, "$") > 0, dollar_trees)
+        .otherwise(single_tree)
+    )
+    names = F.transform(
+        trees,
+        lambda t: F.concat(
+            t["country1"]["id"], t["country2"]["id"], t["article"]["id"],
+            t["subject"]["id"], t["subsubject"]["id"],
+        ),
+    )
+    return F.struct(trees.alias("trees"), names.alias("names"))
+
+
+def parse_iltinfo_treaty(
+    col: Column | str, flaginfo: Column | str, year_id: Column
+) -> Column:
+    """Treaty iltassociation variant (ts:6188-6407) → struct{trees,
+    names, countries, articles, subjects}.
+
+    Differences from the other variants: skipped sub-fields stay fully
+    EMPTY structs (no type, no zero-id fill); country2 additionally
+    requires id != the 18-zero sentinel; flag1/flag2 come from the row's
+    ``flaginfo`` ('|' pair, uppercased names, quotes stripped);
+    searchiltcitation names substitute the 18-zero id for missing parts
+    and append the year id; countries/articles/subjects collect lowercase
+    names across entries for the weight-8/1/16 Suggest pools.
+    Deviation (documented): the reference's article/subject pid concats
+    ``objCountry2.id`` even when country2 was skipped, producing the JS
+    string 'undefined' (ts:6236,6247) — we use '' there."""
+    c = _c(col)
+    fi = _c(flaginfo)
+    ZERO = "000000000000000000"
+
+    def empty_struct() -> Column:
+        return F.struct(
+            *[F.lit("").alias(f) for f in
+              ("id", "pid", "pSubId", "type", "name", "shortName",
+               "ordering")],
+            F.lit(0).alias("orderInteger"),
+            F.lit("").alias("url"),
+        )
+
+    flags = F.split(fi, r"\|")
+    flags_ok = fi.isNotNull() & (F.size(flags) == 2)
+
+    def flag_of(i: int) -> Column:
+        raw = F.trim(F.coalesce(_f(flags, i), F.lit("")))
+        noq = F.regexp_replace(raw, "'", "")
+        return F.when(
+            flags_ok,
+            F.struct(
+                raw.alias("id"), F.lit("").alias("pid"),
+                F.lit("").alias("pSubId"), F.lit("").alias("type"),
+                F.upper(noq).alias("name"), F.lit("").alias("shortName"),
+                F.lower(noq).alias("ordering"),
+                F.lit(0).alias("orderInteger"),
+                F.lower(noq).alias("url"),
+            ),
+        ).otherwise(empty_struct())
+
+    def build(e: Column) -> Column:
+        p = F.split(e, r"\|")
+        f0, f1, f2, f3, f4 = (_f(p, i) for i in range(1, 6))
+
+        def idname(f: Column):
+            cr = F.split(f, r"\^")
+            return _e(_f(cr, 1)), _e(_f(cr, 2))
+
+        c1_id, c1_name = idname(f0)
+        country1 = _ilt(
+            c1_id, F.lit(""), F.lit(""), "country1", c1_name,
+            F.lower(c1_name),
+        )
+        c2_id, c2_name = idname(f1)
+        c2_ok = (F.length(_e(f1)) > 5) & (c2_id != ZERO)
+        country2 = F.when(
+            c2_ok,
+            _ilt(c2_id, c1_id, F.lit(""), "country2", c2_name,
+                 F.lower(c2_name)),
+        ).otherwise(empty_struct())
+        a_id, a_nm = idname(f2)
+        a_name = F.coalesce(_f(F.split(a_nm, "#"), 1), F.lit(""))
+        a_ord = F.coalesce(_f(F.split(a_nm, "#"), 2), F.lit(""))
+        c12 = F.concat(c1_id, F.when(c2_ok, c2_id).otherwise(F.lit("")))
+        a_ok = F.length(_e(f2)) > 5
+        article = F.when(
+            a_ok,
+            _ilt(a_id, F.when(c1_id != "", c12).otherwise(F.lit("")),
+                 F.lit(""), "article", a_name, a_ord),
+        ).otherwise(empty_struct())
+        s_id, s_name = idname(f3)
+        s_ok = F.length(_e(f3)) > 5
+        subject = F.when(
+            s_ok,
+            _ilt(s_id, F.when(c1_id != "", c12).otherwise(F.lit("")),
+                 F.lit(""), "subject", s_name, F.lower(s_name)),
+        ).otherwise(empty_struct())
+        ss_id, ss_name = idname(f4)
+        ss_ok = F.length(_e(f4)) > 5
+        subsubject = F.when(
+            ss_ok,
+            _ilt(ss_id, F.when(s_ok, s_id).otherwise(F.lit("")),
+                 F.lit(""), "subsubject", ss_name, F.lower(ss_name)),
+        ).otherwise(empty_struct())
+        return F.struct(
+            country1.alias("country1"), country2.alias("country2"),
+            article.alias("article"), subject.alias("subject"),
+            subsubject.alias("subsubject"),
+            flag_of(1).alias("flag1"), flag_of(2).alias("flag2"),
+        )
+
+    # null column takes the '$' branch (JS undefined?.indexOf ≠ -1) with
+    # no entries; '' takes the non-'$' branch but !! guards then skip →
+    # also no entries
+    dollar_trees = F.transform(F.split(c, r"\$"), build)
+    single_tree = F.array(build(F.coalesce(c, F.lit(""))))
+    empty = F.slice(single_tree, 1, 0)
+    trees = (
+        F.when(c.isNull() | (c == ""), empty)
+        .when(F.instr(c, "$") > 0, dollar_trees)
+        .otherwise(single_tree)
+    )
+
+    def zid(t: Column, part: str) -> Column:
+        v = t[part]["id"]
+        return F.when(v == "", F.lit(ZERO)).otherwise(v)
+
+    names = F.transform(
+        trees,
+        lambda t: F.concat(
+            t["country1"]["id"], zid(t, "country2"), zid(t, "article"),
+            zid(t, "subject"), zid(t, "subsubject"), year_id,
+        ),
+    )
+
+    def pool(parts: list[str]) -> Column:
+        # interleaved per entry (c1, c2, c1, c2, …) as the row loop pushes
+        merged = F.flatten(
+            F.transform(
+                trees,
+                lambda t: F.array(
+                    *[F.lower(F.trim(t[p]["name"])) for p in parts]
+                ),
+            )
+        )
+        return F.filter(merged, lambda n: n.isNotNull() & (n != ""))
+
+    return F.struct(
+        trees.alias("trees"), names.alias("names"),
+        pool(["country1", "country2"]).alias("countries"),
+        pool(["article"]).alias("articles"),
+        pool(["subject", "subsubject"]).alias("subjects"),
+    )
+
+
 def search_ilt_citation(ilt: Column) -> Column:
     """searchiltcitation names: country1.id + country2.id + article.id +
     subject.id + subsubject.id per tree with non-empty country1
