@@ -162,6 +162,17 @@ def main() -> None:
     # --- TPC-H-ish pricing agg -------------------------------------------
     timed("q_tpch_pricing", lambda: entry._dp_agg_pricing(spark, sf_dir).collect())
 
+    # --- composed per-doctype pipeline (packed row → nested document;
+    # the reference's actual deliverable, one narrow select) -------------
+    timed(
+        "q_doc_assembly",
+        lambda: entry._dp_doc_assembly(spark, sf_dir).count(),
+    )
+    timed(
+        "q_finder_assembly",
+        lambda: entry._dp_finder_assembly(spark, sf_dir).count(),
+    )
+
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
