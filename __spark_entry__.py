@@ -1527,6 +1527,114 @@ def _dp_partial_assembly(spark, sf_dir):
     )
 
 
+def _dp_book_assembly(spark, sf_dir):
+    """The COMPOSED CommentaryBook pipeline (docprep.pipelines.
+    commentary_book_document, solrIndexCreation.ts:7150-7654): packed
+    prodid/dateofpublication/booktype masterinfo, 5-level groups with the
+    Finance-Act year override, group-marker heading rules, boost 20."""
+    from solr_indexing_spark.docprep.pipelines import (
+        commentary_book_document,
+    )
+
+    orders = _tbl(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 300)
+    k = F.col("o_orderkey")
+    ks = k.cast("string")
+    packed = orders.select(
+        F.concat(F.lit("BK"), ks).alias("mid"),
+        F.concat(F.lit("M"), ks).alias("id"),
+        F.lit("Book").alias("documenttype"),
+        F.lit(".htm").alias("documentformat"),
+        F.lit("2020").alias("year"),
+        F.concat(F.lit("PROD"), ks, F.lit("|15-01-2020|Practice")).alias(
+            "masterinfo"
+        ),
+        F.concat(
+            F.lit("G^Books#1|SG^Set#2|SS^Vol#3|111050000000000108^X#4|L5^Leaf "),
+            (k % 9).cast("string"), F.lit("#5"),
+        ).alias("groups"),
+        F.concat((k % 90 + 10).cast("string"), F.lit(" Refund")).alias(
+            "Heading"
+        ),
+        F.lit("111050000000099999^III#2|P^PN#1").alias("parentidheading"),
+        F.lit("fileyes").alias("ParentFile"),
+        F.concat(F.lit("T"), ks, F.lit("^Tag "), ks).alias("TagInfo"),
+    )
+    doc = commentary_book_document(packed, templateid="T")
+    info = F.col("masterinfo")["info"]
+    g = F.col("groups")["group"]
+    return doc.select(
+        F.col("id").alias("doc_id_str"),
+        F.col("documenttypeboost").alias("boost"),
+        F.element_at(info["prodid"], 1)["id"].alias("prodid"),
+        F.element_at(info["dateofpublication"], 1)["name"].alias("pubdate"),
+        F.element_at(info["booktype"], 1)["name"].alias("booktype"),
+        g["subgroup"]["subsubgroup"]["subsubsubgroup"]["name"].alias(
+            "sss_name"
+        ),
+        g["subgroup"]["subsubgroup"]["subsubsubgroup"][
+            "subsubsubsubgroup"
+        ]["name"].alias("ssss_name"),
+        "heading",
+        F.element_at("parentheadings", 1)["name"].alias("parent_name"),
+        F.element_at("parentheadings", 1)["pname"].alias("parent_pname"),
+        F.element_at("taginfo", 1)["name"].alias("tag_name"),
+    )
+
+
+def _dp_modelreport_assembly(spark, sf_dir):
+    """The COMPOSED AAAModelReport pipeline (docprep.pipelines.
+    aaa_model_report_document, solrIndexCreation.ts:9140-9400):
+    '^'-packed year, 18+-char-gated area/clause/company/industry
+    masters, the always-1900 date quirk."""
+    from solr_indexing_spark.docprep.pipelines import (
+        aaa_model_report_document,
+    )
+
+    orders = _tbl(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 300)
+    k = F.col("o_orderkey")
+    ks = k.cast("string")
+    jid = F.lpad(F.col("o_custkey").cast("string"), 18, "0")
+    packed = orders.select(
+        F.concat(F.lit("MR"), ks).alias("mid"),
+        F.concat(F.lit("M"), ks).alias("id"),
+        F.lit("ModelReport").alias("documenttype"),
+        F.concat(jid, F.lit("^"), (2000 + k % 20).cast("string")).alias(
+            "year"
+        ),
+        F.concat(
+            jid, F.lit("^Industry "), ks, F.lit("|"), jid,
+            F.lit("^Company "), ks,
+        ).alias("associates"),
+        F.concat(jid, F.lit("^Area "), ks, F.lit("#2")).alias("AreaID"),
+        F.when(
+            k % 2 == 0,
+            F.concat(jid, F.lit("^Clause "), ks, F.lit("#3")),
+        ).otherwise(F.lit("x^Short")).alias("ClauseID"),
+        F.lit("G^Reports#1|SG^Audit#2").alias("groups"),
+        F.concat(F.lit("Report "), ks).alias("Heading"),
+        F.concat(
+            F.date_format("o_orderdate", "yyyyMMdd"), F.lit("^x")
+        ).alias("documentdate"),
+    )
+    doc = aaa_model_report_document(packed, templateid="T")
+    info = F.col("masterinfo")["info"]
+    return doc.select(
+        F.col("id").alias("doc_id_str"),
+        F.col("year")["name"].alias("year_name"),
+        F.element_at(info["industry"], 1)["name"].alias("industry_name"),
+        F.element_at(info["company"], 1)["name"].alias("company_name"),
+        F.element_at(info["area"], 1)["name"].alias("area_name"),
+        F.element_at(info["area"], 1)["ordering"].alias("area_ord"),
+        F.size(info["clause"]).alias("n_clause"),
+        F.col("groups")["group"]["subgroup"]["name"].alias("subgroup_name"),
+        "heading",
+        "documentdate",
+        F.col("formatteddocumentdate").cast("string").alias("fmt_date"),
+        F.col("sortheadingnumber").alias("shn"),
+        F.col("boostpopularity").alias("boostpop"),
+    )
+
+
 def _mm_features(spark, sf_dir):
     from solr_indexing_spark.multimodal import (
         MEDIA_SCHEMA,
@@ -1614,6 +1722,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_commentary_assembly": _dp_commentary_assembly,
         "dp_aaa_assembly": _dp_aaa_assembly,
         "dp_partial_assembly": _dp_partial_assembly,
+        "dp_book_assembly": _dp_book_assembly,
+        "dp_modelreport_assembly": _dp_modelreport_assembly,
         # rows-only (non-SQL-expressible machinery)
         "ix_lineage": _ix_lineage,
         "ix_dictionary": _ix_dictionary,
@@ -2077,6 +2187,8 @@ from k
         "dp_commentary_assembly": _dp_commentary_assembly_sql(),
         "dp_aaa_assembly": _dp_aaa_assembly_sql(),
         "dp_partial_assembly": _dp_partial_assembly_sql(),
+        "dp_book_assembly": _dp_book_assembly_sql(),
+        "dp_modelreport_assembly": _dp_modelreport_assembly_sql(),
         "dp_actrule_assembly": """
 with b as (
   select o_orderkey as k, (o_orderkey % 100)::varchar as h,
@@ -2330,6 +2442,42 @@ select 'P' || o_orderkey::varchar as doc_id_str,
   'S' || o_orderkey::varchar as ca1956_id,
   'Sec-' || o_orderkey::varchar || ' Old' as ca1956_name,
   'Sec-' || o_orderkey::varchar || ' New' as ca2013_name
+from orders where o_orderkey < 300
+"""
+
+
+def _dp_book_assembly_sql() -> str:
+    return """
+select 'BK' || o_orderkey::varchar as doc_id_str,
+  20 as boost,
+  'PROD' || o_orderkey::varchar as prodid,
+  '15-01-2020' as pubdate,
+  'Practice' as booktype,
+  'Finance Act, 2020' as sss_name,
+  'Leaf ' || (o_orderkey % 9)::varchar as ssss_name,
+  (o_orderkey % 90 + 10)::varchar || ' Refund' as heading,
+  'III' as parent_name,
+  'PN' as parent_pname,
+  'Tag ' || o_orderkey::varchar as tag_name
+from orders where o_orderkey < 300
+"""
+
+
+def _dp_modelreport_assembly_sql() -> str:
+    return """
+select 'MR' || o_orderkey::varchar as doc_id_str,
+  (2000 + o_orderkey % 20)::varchar as year_name,
+  'Industry ' || o_orderkey::varchar as industry_name,
+  'Company ' || o_orderkey::varchar as company_name,
+  'Area ' || o_orderkey::varchar as area_name,
+  '2' as area_ord,
+  case when o_orderkey % 2 = 0 then 1 else 0 end as n_clause,
+  'Audit' as subgroup_name,
+  'Report ' || o_orderkey::varchar as heading,
+  strftime(o_orderdate, '%Y%m%d') as documentdate,
+  '1900-01-01' as fmt_date,
+  '0' as shn,
+  10 as boostpop
 from orders where o_orderkey < 300
 """
 
