@@ -289,7 +289,11 @@ MARKING_SCHEMA = T.ArrayType(
 )
 
 
-def parse_marking_info_str(raw: str | None) -> list[dict] | None:
+def parse_marking_info_str(
+    raw: str | None,
+    lower_text: bool = False,
+    lower_parent: bool = True,
+) -> list[dict] | None:
     """Pure-Python MarkingInfo parser (grammar at ts:2643-2655):
     entries '$'-separated; entry = text|img^head##desc@@i…~entry\\updated_@@e…@@t…
 
@@ -297,6 +301,11 @@ def parse_marking_info_str(raw: str | None) -> list[dict] | None:
     occurrence replace('&#39;') and replace('_',' ') semantics. Entries that
     raise in the reference would hit its per-row catch; here they yield None
     fields (quarantine-friendly).
+
+    Per-doctype variants: ``lower_text`` lowercases the text field (the
+    CirNot ts:4490 / Commentary ts:7054 / Book ts:7587 loops; CaseLaws
+    ts:2637 and News ts:8250 keep it raw); ``lower_parent=False`` keeps
+    parentmarking case (News ts:8274 — every other loop lowercases).
     """
     if not raw:
         return None
@@ -312,7 +321,7 @@ def parse_marking_info_str(raw: str | None) -> list[dict] | None:
         image = caret[0]
         rec = {
             "number": num,
-            "text": markings[0],
+            "text": markings[0].lower() if lower_text else markings[0],
             "image": image,
             "entrydate": None,
             "updateddate": None,
@@ -336,7 +345,8 @@ def parse_marking_info_str(raw: str | None) -> list[dict] | None:
                 if "@@t" in m1:
                     pm = pmark.split("@@t")
                     joined = (pm[0] + ", " + (pm[1] if len(pm) > 1 else "")).strip()
-                    rec["parentmarking"] = joined.lstrip(",").lower()
+                    pmv = joined.lstrip(",")
+                    rec["parentmarking"] = pmv.lower() if lower_parent else pmv
         except (IndexError, AttributeError):
             pass
         out.append(rec)
@@ -346,6 +356,18 @@ def parse_marking_info_str(raw: str | None) -> list[dict] | None:
 @F.pandas_udf(MARKING_SCHEMA)
 def parse_marking_info(col: pd.Series) -> pd.Series:
     return col.map(parse_marking_info_str)
+
+
+@F.pandas_udf(MARKING_SCHEMA)
+def parse_marking_info_lower(col: pd.Series) -> pd.Series:
+    """CirNot/Commentary/Book variant: text lowercased."""
+    return col.map(lambda v: parse_marking_info_str(v, lower_text=True))
+
+
+@F.pandas_udf(MARKING_SCHEMA)
+def parse_marking_info_news(col: pd.Series) -> pd.Series:
+    """News variant: text raw AND parentmarking case preserved."""
+    return col.map(lambda v: parse_marking_info_str(v, lower_parent=False))
 
 
 # --- J2: intra-row semi-join — parent-section override --------------------

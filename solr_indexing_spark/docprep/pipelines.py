@@ -64,6 +64,8 @@ from .grammars import (
     parse_categories,
     parse_groups,
     parse_marking_info,
+    parse_marking_info_lower,
+    parse_marking_info_news,
     tokenize_crosstagging,
 )
 from .masterinfo import (
@@ -1083,7 +1085,7 @@ def cirnot_document(
     )
     affirm = parse_arinfo(F.col("arinfo"))
     ilt = parse_iltinfo_cirnot(F.col("iltinfo"))
-    marking = parse_marking_info(F.col("MarkingInfo").cast("string"))
+    marking = parse_marking_info_lower(F.col("MarkingInfo").cast("string"))
     content = split_footnotes(
         F.col("fullcontent"), F.lower(_s("documentformat"))
     )
@@ -2846,8 +2848,8 @@ def commentary_document(df: DataFrame, templateid: str = "") -> DataFrame:
     heading falls back to subheading, and the DTC-2010 'Section - '
     variant blanks it for non-numeric headings. Deviations: TagInfo
     '$'-entries parse every '|'-piece as ``id^name`` (name null without
-    '^'); null TagInfo → one null tag; marking info reuses the shared
-    parser."""
+    '^'); null TagInfo → one null tag; marking info uses the
+    lowercased-text variant (ts:7054)."""
     if "heading" in df.columns and "Heading" in df.columns:
         raise ValueError(
             "input carries both 'heading' and 'Heading' — ambiguous"
@@ -2894,7 +2896,7 @@ def commentary_document(df: DataFrame, templateid: str = "") -> DataFrame:
     acts = _commentary_acts(F.col("DDA_Acts"))
     aaa = parse_aaa_standards_commentary(F.col("AAAAssociation"))
     rules = _article_rules(F.col("DDA_Rules"), pipe_filter=True)
-    marking = parse_marking_info(F.col("MarkingInfo").cast("string"))
+    marking = parse_marking_info_lower(F.col("MarkingInfo").cast("string"))
 
     groups = F.when(
         groups_raw.contains(_MODELS_DRAFTS) | groups_raw.contains(_CHALLANS),
@@ -3355,7 +3357,7 @@ def commentary_book_document(
         )
     )
 
-    marking = parse_marking_info(F.col("MarkingInfo").cast("string"))
+    marking = parse_marking_info_lower(F.col("MarkingInfo").cast("string"))
     taginfo = F.when(
         F.col("TagInfo").isNotNull() & (_s("TagInfo") != ""),
         F.filter(
@@ -3830,11 +3832,11 @@ def news_document(
     and — faithful quirk — NO final 3-id category filter and no
     'centax ' strip (the whitelist still applies inside the category
     grammar); heading is NOT trimmed (ts:8225); groups go three levels
-    deep with '#'-ordering names. MarkingInfo reuses the shared parser
-    (deviations: parentmarking is lowercased/trimmed there, and
-    entry/updated dates populate from the same split pyramid — the News
-    variant's extra '~'-presence gate is subsumed); TagInfo entries
-    without '|' would crash the reference's row — skipped here."""
+    deep with '#'-ordering names. MarkingInfo uses the News variant
+    (text raw, parentmarking case preserved — ts:8250,8274; the News
+    loop's extra '~'-presence date gate is subsumed by the shared split
+    pyramid); TagInfo entries without '|' would crash the reference's
+    row — skipped here."""
     if "heading" in df.columns and "Heading" in df.columns:
         raise ValueError(
             "input carries both 'heading' and 'Heading' — ambiguous"
@@ -3846,7 +3848,7 @@ def news_document(
     df = ensure_columns(df, NEWS_INPUT_COLUMNS)
     heading_raw = F.col("Heading").cast("string")
 
-    marking = parse_marking_info(F.col("MarkingInfo").cast("string"))
+    marking = parse_marking_info_news(F.col("MarkingInfo").cast("string"))
     content = split_footnotes(
         F.col("fullcontent"), F.lower(_s("documentformat"))
     )
@@ -4638,7 +4640,7 @@ def article_document(df: DataFrame, templateid: str = "") -> DataFrame:
     )
     aaa = parse_aaa_standards(F.col("AAAAssociation"))
     ilt = parse_iltinfo_article(F.col("iltassociation"))
-    marking = parse_marking_info(F.col("MarkingInfo").cast("string"))
+    marking = parse_marking_info_lower(F.col("MarkingInfo").cast("string"))
     content = split_footnotes(
         F.col("fullcontent"), F.lower(_s("documentformat"))
     )

@@ -1243,6 +1243,24 @@ def test_case_finder_documents(spark):
     assert d2["tldheading"] == "H2"
 
 
+def test_marking_variant_routing(spark):
+    # text lowercased in the CirNot/Commentary/Book/Article loops; raw in
+    # CaseLaws/News; parentmarking case only preserved in News
+    raw = "TOP Story|img^Head##Desc@@iX~20200101\\20200102_@@eP1@@tP2"
+    row = dict(CIRNOT_ROW, MarkingInfo=raw)
+    df = spark.createDataFrame(
+        [tuple(row.values())], ", ".join(f"`{k}` string" for k in row)
+    )
+    d = cirnot_document(df).collect()[0]
+    assert d["markinginfo"][0]["text"] == "top story"
+    case_row = dict(CASE_ROW, MarkingInfo=raw)
+    df = spark.createDataFrame(
+        [tuple(case_row.values())], ", ".join(f"`{k}` string" for k in case_row)
+    )
+    d = case_laws_document(df).collect()[0]
+    assert d["markinginfo"][0]["text"] == "TOP Story"
+
+
 def test_parse_act_associations_empty(spark):
     df = spark.createDataFrame([(None, None)], "a string, p string")
     got = df.select(
