@@ -19,3 +19,9 @@ __version__ = "0.1.0"
 K1 = 1.2
 B = 0.75
 BLOCK_SIZE = 128
+
+# Above this many dead (tombstoned) ids, query + merge switch from a
+# closure-shipped frozenset/array to a torrent broadcast — one copy per
+# executor instead of per task closure. Shared so the two paths flip at
+# the same churn level.
+TOMBSTONE_BROADCAST_THRESHOLD = 1_000_000

@@ -459,6 +459,7 @@ def build_index(
     docids_cache = getattr(docs, "_docids_cache", None)
     if docids_cache is not None:
         docids_cache.unpersist()
+    docids_expected = getattr(docs, "_docids_expected", None)
     docs_r = spark.read.parquet(f"{out_dir}/docs")
 
     # ---- docs-stage lineage from the written table (text pruned to a
@@ -487,6 +488,16 @@ def build_index(
                 f"doc_id assignment violated density invariant: ids span "
                 f"[{min_lo}, {max_hi}] but base={base_doc_id}, "
                 f"count={n_docs_total} — range-shuffle cache was recomputed?"
+            )
+        # second leg of the invariant: the count the OFFSET COMPUTATION saw
+        # (assign_doc_ids' collected per-partition counts) must match what
+        # was written — a dense-but-differently-sized recompute would pass
+        # the span check above but fail here
+        if docids_expected is not None and n_docs_total != docids_expected:
+            raise RuntimeError(
+                f"doc_id assignment wrote {n_docs_total} docs but the "
+                f"offset pass counted {docids_expected} — range-shuffle "
+                "cache was recomputed between passes?"
             )
     total_tokens = sum(r["token_count"] for r in lineage_rows)
     avgdl = (total_tokens / n_docs_total) if n_docs_total else 1.0

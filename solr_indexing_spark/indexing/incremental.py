@@ -51,9 +51,16 @@ def append_tombstones(
     if os.path.exists(tomb_dir):
         existing = spark.read.parquet(tomb_dir).select("doc_id")
         dead = dead.join(existing, "doc_id", "left_anti")
-    n = dead.count()
-    if n:
-        dead.write.mode("append").parquet(tomb_dir)
+    # persist so the dedup + anti-join plan runs ONCE: the count decides
+    # (and reports) whether anything new exists, the write re-reads the
+    # cached rows instead of re-evaluating the upstream scan/join
+    dead = dead.persist()
+    try:
+        n = dead.count()
+        if n:
+            dead.write.mode("append").parquet(tomb_dir)
+    finally:
+        dead.unpersist()
     return n
 
 

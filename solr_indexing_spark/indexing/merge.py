@@ -38,10 +38,7 @@ from pyspark.sql import functions as F
 
 from .. import BLOCK_SIZE
 
-# Above this many tombstoned doc_ids the merge ships the dead-id array to
-# executors via sparkContext.broadcast (torrent, once per node) instead of
-# task-closure capture (once per task).
-TOMBSTONE_BROADCAST_THRESHOLD = 1_000_000
+from .. import TOMBSTONE_BROADCAST_THRESHOLD
 from ..codec import delta_decode, vbyte_decode, vbyte_encode
 from .build import (
     FORMAT_VERSION,
@@ -325,6 +322,11 @@ def merge_segments(
     merged.write.mode("overwrite").partitionBy("bucket").parquet(
         f"{out_dir}/postings"
     )
+    if dead_bc is not None:
+        # the reblocker has fully executed (postings written) — free the
+        # dead-id broadcast on driver + executors now instead of waiting
+        # for the ContextCleaner
+        dead_bc.destroy()
     blocks_r = spark.read.parquet(f"{out_dir}/postings")
     blocks_r.groupBy("term", "bucket").agg(
         F.sum("n_docs").alias("df"),

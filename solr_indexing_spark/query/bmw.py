@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .. import B, K1
+from .. import B, K1, TOMBSTONE_BROADCAST_THRESHOLD
 from ..codec import delta_decode, vbyte_decode
 from ..indexing.build import read_manifest, _term_bucket_py
 from ..textprep import ANALYZERS, tokenize_str  # noqa: F401 (tokenize_str re-exported)
@@ -176,11 +176,8 @@ def bmw_shard_topk(
     return sorted(((-nd, s) for s, nd in heap), key=lambda t: (-t[1], t[0]))[:k]
 
 
-# Above this many dead ids, load_tombstones switches from a closure-shipped
-# frozenset to a torrent-broadcast sorted int64 array (BroadcastDeadSet):
-# ~8 bytes/id on the wire once per executor instead of ~60 bytes/id of
-# Python-set pickle in every task closure.
-TOMBSTONE_BROADCAST_THRESHOLD = 1_000_000
+# (TOMBSTONE_BROADCAST_THRESHOLD lives in the package root — shared with
+# indexing.merge so both paths flip to the broadcast form together.)
 
 
 class BroadcastDeadSet:
@@ -205,6 +202,17 @@ class BroadcastDeadSet:
 
     def to_array(self) -> np.ndarray:
         return self._bc.value
+
+    def release(self) -> None:
+        """Free the broadcast on driver + executors. Only call once no
+        DataFrame that captured this set can still execute. (Unreleased
+        sets are eventually reclaimed by Spark's ContextCleaner when the
+        Python reference is garbage-collected — release() just makes the
+        lifetime explicit for long-lived holders like QuerySession.)"""
+        try:
+            self._bc.destroy()
+        except Exception:  # noqa: BLE001 — already destroyed / ctx gone
+            pass
 
 
 def union_dead(spark: SparkSession, sets: list):
@@ -277,6 +285,8 @@ class QuerySession:
     def close(self) -> None:
         self.dictionary.unpersist()
         self.postings.unpersist()
+        if isinstance(self.dead, BroadcastDeadSet):
+            self.dead.release()
 
     def topk(
         self, query: str, k: int = 10, shard_range: int = 1 << 17

@@ -15,8 +15,18 @@ reads only the files whose [min,max] range can contain the prefix.
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# v2 = inputs stored lowercased (the raw-column pushdown contract);
+# v1 tables (no manifest) stored mixed case and silently miss under the
+# raw-column filter — gate loudly instead (mirrors segments'
+# read_manifest format_version check)
+COMPLETION_FORMAT_VERSION = 2
+_MANIFEST = "_completion_manifest.json"
 
 
 def flatten_suggests(df: DataFrame, suggest_col: str = "Suggest") -> DataFrame:
@@ -51,6 +61,11 @@ def build_completion_index(
     deduped.repartitionByRange(n, "input").sortWithinPartitions("input").write.mode(
         "overwrite"
     ).parquet(out_dir)
+    with open(os.path.join(out_dir, _MANIFEST), "w") as f:
+        json.dump(
+            {"format_version": COMPLETION_FORMAT_VERSION, "lowercased": True},
+            f,
+        )
 
 
 def complete(
@@ -80,4 +95,25 @@ def complete(
 def complete_dir(
     spark: SparkSession, index_dir: str, prefix: str, k: int = 10
 ) -> DataFrame:
+    _check_format(index_dir)
     return complete(spark.read.parquet(index_dir), prefix, k)
+
+
+def _check_format(index_dir: str) -> None:
+    """Reject pre-v2 completion tables (mixed-case inputs on disk): under
+    the raw-column prefix filter they would silently return nothing."""
+    path = os.path.join(index_dir, _MANIFEST)
+    if not os.path.exists(path):
+        raise ValueError(
+            f"completion table at {index_dir} has no {_MANIFEST} — written "
+            "by a pre-v2 build (inputs not lowercase-normalized); rebuild "
+            "with build_completion_index"
+        )
+    with open(path) as f:
+        meta = json.load(f)
+    if meta.get("format_version") != COMPLETION_FORMAT_VERSION:
+        raise ValueError(
+            f"completion table format_version {meta.get('format_version')} "
+            f"!= {COMPLETION_FORMAT_VERSION}; rebuild with "
+            "build_completion_index"
+        )

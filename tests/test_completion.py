@@ -124,3 +124,15 @@ def test_topk_boosted(spark, small_index):
     boosted = topk_boosted(spark, idx, "tabel rilo", boosts, k=10).collect()
     assert boosted[0]["doc_id"] == target
     assert abs(boosted[0]["score"] - (base[-1]["score"] + 100.0)) < 1e-9
+
+
+def test_complete_dir_rejects_pre_v2_table(spark, tmp_path):
+    # a table without the completion manifest (round-1 layout, mixed-case
+    # inputs possible) must fail loudly, not silently return nothing
+    import pytest
+    out = str(tmp_path / "old_table")
+    spark.createDataFrame(
+        [("Alpha", 3)], "input string, weight int"
+    ).write.parquet(out)
+    with pytest.raises(ValueError, match="pre-v2|manifest"):
+        complete_dir(spark, out, "al")

@@ -1261,6 +1261,36 @@ def test_marking_variant_routing(spark):
     assert d["markinginfo"][0]["text"] == "TOP Story"
 
 
+def test_pipeline_composes_with_structured_streaming(spark, tmp_path):
+    """The composed pipelines are pure map stages, so they lift directly
+    onto a readStream source — the streaming route for continuously
+    arriving documents (pairs with streaming/ingest.py for the index
+    side)."""
+    src = str(tmp_path / "src")
+    row = dict(CIRNOT_ROW)
+    df = spark.createDataFrame(
+        [tuple(row.values())], ", ".join(f"`{k}` string" for k in row)
+    )
+    df.write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = cirnot_document(stream, templateid="TS")
+    assert out.isStreaming
+    q = (
+        out.select("id", "documenttypeboost", "heading")
+        .writeStream.format("memory")
+        .queryName("cirnot_stream")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("select * from cirnot_stream").collect()
+    finally:
+        q.stop()
+    assert len(got) == 1
+    assert got[0]["id"] == "C-1" and got[0]["documenttypeboost"] == 3000
+
+
 def test_parse_act_associations_empty(spark):
     df = spark.createDataFrame([(None, None)], "a string, p string")
     got = df.select(
