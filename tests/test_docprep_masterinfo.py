@@ -280,3 +280,92 @@ def test_popular_acts_data_join(spark):
     assert miss["resolved_act_name"] == "Other Acts"
     assert not miss["is_popular_act"]
     assert other_act_cat_urls("case_final") == ["goods-services-tax"]
+
+
+# --- round-2 per-doctype ilt / AAA variants --------------------------------
+
+
+def test_parse_iltinfo_cirnot_branches(spark):
+    from solr_indexing_spark.docprep.masterinfo import parse_iltinfo_cirnot
+
+    col = parse_iltinfo_cirnot(F.col("v"))
+    # '$'-list branch: short fields zero-fill with pids
+    out = _one(
+        spark, col, "100^India|short$100^India|200^Mauritius|300^Article 9|x|y"
+    )
+    t0, t1 = out["trees"]
+    assert t0["country1"]["name"] == "India"
+    assert t0["country2"]["id"] == "0" * 18
+    assert t0["country2"]["pid"] == "100"
+    assert t0["article"]["pid"] == "100" + "0" * 18
+    assert t1["country2"]["name"] == "Mauritius"
+    assert t1["article"]["name"] == "Article 9"
+    assert out["names"][0] == "100" + ("0" * 18) * 4
+    # non-'$' branch: '' defaults, no pid on article
+    out = _one(spark, col, "100^India|200^Mauritius|300^Article 9|x|y")
+    t = out["trees"][0]
+    assert t["article"]["pid"] == "" and t["subject"]["id"] == ""
+    assert out["names"] == ["100200300"]
+    # null → '$' branch with no entries (JS undefined?.indexOf quirk)
+    out = _one(spark, col, None)
+    assert out["trees"] == [] and out["names"] == []
+
+
+def test_parse_iltinfo_article_branches(spark):
+    from solr_indexing_spark.docprep.masterinfo import parse_iltinfo_article
+
+    col = parse_iltinfo_article(F.col("v"))
+    # '$' branch keeps '#'-ordering on countries and '-pSubId' on subject
+    out = _one(
+        spark, col,
+        "100^India#1|200^Mauritius#2|300^Article 9#5|400-9^Long Subject X|y"
+        "$101^France|short|x|y|z",
+    )
+    t0, t1 = out["trees"]
+    assert t0["country1"]["ordering"] == "1"
+    assert t0["country1"]["orderInteger"] == 1
+    assert t0["article"]["ordering"] == "5"
+    assert t0["subject"]["id"] == "400" and t0["subject"]["pSubId"] == "9"
+    assert t0["subject"]["pid"] == "100200"
+    assert t1["country2"]["id"] == "0" * 18
+    # '' input → NO trees (unlike CirNot's one empty tree)
+    out = _one(spark, col, "")
+    assert out["trees"] == []
+
+
+def test_parse_aaa_standards_article_vs_commentary(spark):
+    from solr_indexing_spark.docprep.masterinfo import (
+        parse_aaa_standards,
+        parse_aaa_standards_commentary,
+    )
+
+    raw = (
+        "S1|One^A@G1~Group A#3:2020"
+        "$S2|Two^B@G1~Group A#4:2021"
+        "$S3|Three^C@G2~Group B#5:2022"
+    )
+    art = _one(spark, parse_aaa_standards(F.col("v")), raw)
+    # article variant: one standard per element (no dedup), year parsed
+    assert [s["id"] for s in art["standards"]] == ["G1", "G1", "G2"]
+    assert art["substandards"][0]["orderInteger"] == 3
+    assert art["substandards"][0]["year"] == "2020"
+    assert art["substandards"][0]["name"] == "One-A"
+    com = _one(spark, parse_aaa_standards_commentary(F.col("v")), raw)
+    # commentary variant: standards dedup first-wins; no '#' parsing
+    assert [s["id"] for s in com["standards"]] == ["G1", "G2"]
+    assert com["standards"][0]["name"] == "Group A#3:2020"
+    assert com["substandards"][0]["orderInteger"] == 0
+    assert len(com["substandards"]) == 3
+
+
+def test_parse_iltinfo_treaty_empty_structs(spark):
+    from solr_indexing_spark.docprep.masterinfo import parse_iltinfo_treaty
+
+    col = parse_iltinfo_treaty(F.col("v"), F.lit("in|mu"), F.lit("2019"))
+    out = _one(spark, col, "100^India|000000000000000000^X|short|x|y")
+    t = out["trees"][0]
+    # country2 with the 18-zero sentinel id is SKIPPED (fully empty struct)
+    assert t["country2"]["id"] == "" and t["country2"]["type"] == ""
+    assert t["flag1"]["name"] == "IN"
+    # names zero-fill skipped parts and append the year
+    assert out["names"] == ["100" + ("0" * 18) * 4 + "2019"]
