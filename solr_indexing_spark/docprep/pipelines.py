@@ -1223,7 +1223,9 @@ def cirnot_document(
             get_meta_tag(_s("fullcontent")),
         ).otherwise(F.lit("")).alias("xmltag"),
         docdate.alias("documentdate"),
-        F.to_date(docdate, "yyyyMMdd").alias("formatteddocumentdate"),
+        # try_to_date: an empty/garbled date is the reference's JS
+        # Invalid Date (no crash), not an error
+        F.try_to_date(docdate, "yyyyMMdd").alias("formatteddocumentdate"),
         F.when(F.trim(docdate) != "19000101", docdate).otherwise(
             F.lit("")
         ).alias("displaydocumentdatestring"),
@@ -2285,7 +2287,8 @@ def aaa_document(df: DataFrame, templateid: str = "") -> DataFrame:
             get_meta_tag(_s("fullcontent")),
         ).otherwise(F.lit("")).alias("xmltag"),
         docdate.alias("documentdate"),
-        F.to_date(F.substring(docdate, 1, 10)).alias(
+        # try_to_date: empty/garbled dates are JS Invalid Date, not errors
+        F.try_to_date(F.substring(docdate, 1, 10)).alias(
             "formatteddocumentdate"
         ),
         # AAA created_date is an ISO-ish string: new Date(substr(0,19))
@@ -2293,7 +2296,7 @@ def aaa_document(df: DataFrame, templateid: str = "") -> DataFrame:
         F.try_to_timestamp(
             F.regexp_replace(F.substring(_s("created_date"), 1, 19), "T", " ")
         ).alias("created_date"),
-        F.to_date(F.substring(docdate, 1, 10)).cast("timestamp").alias(
+        F.try_to_date(F.substring(docdate, 1, 10)).cast("timestamp").alias(
             "updated_date"
         ),
         F.lit(True).alias("ispublished"),

@@ -1298,3 +1298,41 @@ def test_parse_act_associations_empty(spark):
     ).collect()[0]["o"]
     assert got["acts"] == [] and got["sections"] == []
     assert got["actassociations"] == [] and got["sectionassociations"] == []
+
+
+def test_all_pipelines_survive_all_null_row(spark):
+    """The reference's DataTable hands every column as DBNull-able; each
+    composed pipeline must process a fully-null row without raising (the
+    reference's per-row catch would drop it — we emit a row of defaults,
+    which is strictly more useful and documented per-pipeline)."""
+    from solr_indexing_spark.docprep import pipelines as P
+
+    cases = [
+        (P.case_laws_document, P.CASE_LAWS_INPUT_COLUMNS),
+        (P.act_rule_document, P.ACT_RULE_INPUT_COLUMNS),
+        (P.cirnot_document, P.CIRNOT_INPUT_COLUMNS),
+        (P.article_document, P.ARTICLE_INPUT_COLUMNS),
+        (P.form_document, P.FORM_INPUT_COLUMNS),
+        (P.news_document, P.NEWS_INPUT_COLUMNS),
+        (P.treaty_document, P.TREATY_INPUT_COLUMNS),
+        (P.commentary_document, P.COMMENTARY_INPUT_COLUMNS),
+        (P.commentary_book_document, P.COMMENTARY_BOOK_INPUT_COLUMNS),
+        (P.aaa_document, P.AAA_INPUT_COLUMNS),
+        (P.aaa_model_report_document, P.AAA_MODEL_REPORT_INPUT_COLUMNS),
+        (P.case_laws_partial_document, P.CASE_PARTIAL_INPUT_COLUMNS),
+    ]
+    for fn, cols in cases:
+        df = spark.createDataFrame(
+            [tuple([None] * len(cols))],
+            ", ".join(f"`{c}` string" for c in cols),
+        )
+        rows = fn(df).collect()
+        assert len(rows) == 1, fn.__name__
+        assert rows[0]["id"] == "", fn.__name__
+    # CaseFinder explodes per DTDInfo entry: a null DTDInfo row yields
+    # ZERO digests (the reference's outer digestdocs null-guard)
+    df = spark.createDataFrame(
+        [tuple([None] * len(P.CASE_FINDER_INPUT_COLUMNS))],
+        ", ".join(f"`{c}` string" for c in P.CASE_FINDER_INPUT_COLUMNS),
+    )
+    assert P.case_finder_documents(df).count() == 0
