@@ -818,7 +818,7 @@ def case_laws_document(
         F.lit(True).alias("isshowonsite"),
         # dates (ts:1939-1940, 2852-2893; JS substring bug not replicated)
         docdate.alias("documentdate"),
-        F.to_date(docdate, "yyyyMMdd").alias("formatteddocumentdate"),
+        F.try_to_date(docdate, "yyyyMMdd").alias("formatteddocumentdate"),
         F.when(docdate != "19000101", docdate).otherwise(F.lit("")).alias(
             "displaydocumentdatestring"
         ),
@@ -1860,7 +1860,7 @@ def case_finder_documents(
             _f(F.split(dtd1, r"\^"), 1), F.lit("")
         ).alias("tldheading"),
         parse_docdate(F.col("created_date")).alias("created_date"),
-        F.to_date(
+        F.try_to_date(
             F.when(docdate != "", docdate).otherwise(F.lit("19000101")),
             "yyyyMMdd",
         ).cast("timestamp").alias("updated_date"),
@@ -3086,7 +3086,7 @@ def commentary_document(df: DataFrame, templateid: str = "") -> DataFrame:
         ).alias("categories"),
         groups.alias("groups"),
         docdate.alias("documentdate"),
-        F.to_date(
+        F.try_to_date(
             F.when(docdate != "", docdate).otherwise(F.lit("19000101")),
             "yyyyMMdd",
         ).alias("formatteddocumentdate"),
@@ -3723,7 +3723,7 @@ def treaty_document(
         parentheadings.alias("parentheadings"),
         F.struct(subject_assoc.alias("subject")).alias("associates"),
         docdate.alias("documentdate"),
-        F.to_date(docdate, "yyyyMMdd").alias("formatteddocumentdate"),
+        F.try_to_date(docdate, "yyyyMMdd").alias("formatteddocumentdate"),
         heading.alias("heading"),
         F.trim(_s("subheading")).alias("subheading"),
         shn_out.alias("sortheadingnumber"),
@@ -3909,7 +3909,7 @@ def news_document(
             get_meta_tag(_s("fullcontent")),
         ).otherwise(F.lit("")).alias("xmltag"),
         docdate.alias("documentdate"),
-        F.to_date(
+        F.try_to_date(
             F.when(docdate != "", docdate).otherwise(F.lit("19000101")),
             "yyyyMMdd",
         ).alias("formatteddocumentdate"),
@@ -4343,7 +4343,7 @@ def form_document(df: DataFrame, templateid: str = "") -> DataFrame:
             get_meta_tag(_s("fullcontent")),
         ).otherwise(F.lit("")).alias("xmltag"),
         docdate.alias("documentdate"),
-        F.to_date(
+        F.try_to_date(
             F.when(docdate != "", docdate).otherwise(F.lit("19000101")),
             "yyyyMMdd",
         ).alias("formatteddocumentdate"),
@@ -4891,7 +4891,7 @@ def article_document(df: DataFrame, templateid: str = "") -> DataFrame:
             get_meta_tag(_s("fullcontent")),
         ).otherwise(F.lit("")).alias("xmltag"),
         docdate.alias("documentdate"),
-        F.to_date(
+        F.try_to_date(
             F.when(docdate != "", docdate).otherwise(F.lit("19000101")),
             "yyyyMMdd",
         ).alias("formatteddocumentdate"),
@@ -5219,7 +5219,7 @@ def act_rule_document(
         F.lit(True).alias("ispublished"),
         F.lit(True).alias("isshowonsite"),
         docdate.alias("documentdate"),
-        F.to_date(
+        F.try_to_date(
             F.when(docdate != "", docdate).otherwise(F.lit("19000101")),
             "yyyyMMdd",
         ).alias("formatteddocumentdate"),

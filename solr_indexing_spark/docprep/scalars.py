@@ -85,8 +85,13 @@ def ddmmyyyy_to_yyyymmdd(col: Column | str) -> Column:
 def parse_docdate(col: Column | str) -> Column:
     c = F.trim(_c(col))
     return (
-        F.when(F.length(c) >= 14, F.to_timestamp(F.substring(c, 1, 14), "yyyyMMddHHmmss"))
-        .when(F.length(c) == 8, F.to_timestamp(c, "yyyyMMdd"))
+        # try_to_timestamp: a garbled date is the reference's JS Invalid Date
+        # (the row survives), not an ANSI error
+        F.when(
+            F.length(c) >= 14,
+            F.try_to_timestamp(F.substring(c, 1, 14), F.lit("yyyyMMddHHmmss")),
+        )
+        .when(F.length(c) == 8, F.try_to_timestamp(c, F.lit("yyyyMMdd")))
         .otherwise(F.lit(None).cast("timestamp"))
     )
 

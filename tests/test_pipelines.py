@@ -1321,14 +1321,24 @@ def test_all_pipelines_survive_all_null_row(spark):
         (P.aaa_model_report_document, P.AAA_MODEL_REPORT_INPUT_COLUMNS),
         (P.case_laws_partial_document, P.CASE_PARTIAL_INPUT_COLUMNS),
     ]
+    # degenerate shapes: all-null (DBNull), empty strings, lone/mixed
+    # delimiters, and digit strings that LOOK like dates but aren't —
+    # the reference's JS new Date(garbage) yields Invalid Date and the
+    # row survives; an ANSI to_date would crash instead (regression class
+    # fixed via try_to_date/try_to_timestamp)
+    probes = [None, "", "$", "|", "$|^#~@", "99999999"]
     for fn, cols in cases:
+        # one DataFrame with one row per probe shape — a single job per
+        # pipeline (each submission pays the ~20s plan-construction
+        # constant, so per-probe jobs would be 6x slower)
         df = spark.createDataFrame(
-            [tuple([None] * len(cols))],
+            [tuple([val] * len(cols)) for val in probes],
             ", ".join(f"`{c}` string" for c in cols),
         )
         rows = fn(df).collect()
-        assert len(rows) == 1, fn.__name__
-        assert rows[0]["id"] == "", fn.__name__
+        assert len(rows) == len(probes), fn.__name__
+        # null row: identity defaults to ''
+        assert any(r["id"] == "" for r in rows), fn.__name__
     # CaseFinder explodes per DTDInfo entry: a null DTDInfo row yields
     # ZERO digests (the reference's outer digestdocs null-guard)
     df = spark.createDataFrame(
