@@ -121,6 +121,71 @@ def main() -> None:
         "sits inside WholeStageCodegen spans.",
     ))
 
+    # --- round 2: completion prefix pushdown -----------------------------
+    from solr_indexing_spark.query.completion import (
+        build_completion_index, complete_dir,
+    )
+
+    comp = spark.createDataFrame(
+        [("income tax act", 9), ("indirect tax", 5), ("zebra", 1)],
+        "input string, weight int",
+    )
+    build_completion_index(comp, f"{work}/comp", num_files=2)
+    sections.append((
+        "Completion prefix query (round 2: raw-column pushdown)",
+        plan_of(complete_dir(spark, f"{work}/comp", "inc", k=10)),
+        "What to check: the Parquet scan carries `PushedFilters: "
+        "[IsNotNull(input), StringStartsWith(input,inc)]` — inputs are "
+        "stored lowercased at build time so the prefix filter is over the "
+        "RAW column (a `lower(input)` wrapper would defeat the pushdown); "
+        "on the range-sorted layout row groups prune via min/max string "
+        "stats, so a prefix query reads a handful of row groups instead "
+        "of the full table.",
+    ))
+
+    # --- round 2: composed per-doctype pipeline (zero-exchange map) ------
+    from solr_indexing_spark.docprep.pipelines import (
+        case_finder_documents, case_laws_document,
+    )
+
+    ks = F.col("o_orderkey").cast("string")
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    packed = orders.select(
+        F.concat(F.lit("S"), ks).alias("mid"),
+        F.concat(F.lit("M"), ks).alias("id"),
+        F.lit("Case Laws").alias("documenttype"),
+        F.concat(F.lit("Case "), ks).alias("Heading"),
+    )
+    sections.append((
+        "Composed per-doctype pipeline (CaseLaws): packed row → nested "
+        "IndexDocument",
+        plan_of(case_laws_document(packed).select("id", "heading")),
+        "What to check: scan → WholeStageCodegen Project (the packed-"
+        "column grammars) → ONE ArrowEvalPython (the MarkingInfo pandas "
+        "UDF) → Project; NO Exchange anywhere — all 13 pipelines are pure "
+        "map stages that run at scan speed with the source's partition "
+        "count. Driver-side constant: ~20 s of Python Column construction "
+        "+ ~5 s optimization per submitted job (row-count-independent; "
+        "amortizes to noise on any real corpus).",
+    ))
+    finder_packed = orders.select(
+        F.concat(F.lit("C"), ks).alias("mid"),
+        F.concat(F.lit("M"), ks).alias("id"),
+        F.concat(
+            F.lit("DG"), ks, F.lit("$100~India@H^B|DG"), ks,
+            F.lit("b$101~France@H2^C"),
+        ).alias("DTDInfo"),
+    )
+    sections.append((
+        "CaseFinder digest fan-out: the one row-multiplying pipeline",
+        plan_of(
+            case_finder_documents(finder_packed).select("id", "tldheading")
+        ),
+        "What to check: `Generate explode(split(DTDInfo,'|'))` sits inside "
+        "the same WholeStageCodegen span as the scan — the fan-out is "
+        "partition-local (J3 at scale: no exchange, no skew shuffle).",
+    ))
+
     out_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "BENCH", "PLANS.md",
@@ -134,8 +199,36 @@ def main() -> None:
         )
         for title, plan, note in sections:
             fh.write(f"\n## {title}\n\n{note}\n\n```\n{plan}```\n")
+        fh.write(_STATIC_NOTES)
     print(f"wrote {out_path}")
     spark.stop()
+
+
+# Measured narratives that aren't regenerable from a plan dump — kept here
+# so re-running this tool preserves them in PLANS.md.
+_STATIC_NOTES = """
+## Measured: block-builder stage is Arrow-native (mapInArrow, round 2)
+
+The one wide exchange's consumer (`build.py _make_block_builder`) switched
+from mapInPandas to mapInArrow: term strings stay in Arrow string buffers
+end-to-end (C++ `not_equal` kernels on shifted slices for run detection,
+`take` for per-block output terms) instead of materializing one Python str
+object per (doc, term) row. At 240k docs / 60M rows this removed 60M
+PyUnicode allocations + object-header memory traffic from the
+memory-bandwidth-bound stage. Measured same-session at 4 cores:
+2172 → 2361 docs/s (+9%); correctness byte-identical (segment tests,
+golden queries, skew invariance all green). Salt rides the PARTITIONING
+EXPRESSION only (derived in the builder via an Arrow `is_in` kernel from
+the head-term set), keeping the sorted exchange row one slot narrower.
+
+## Measured: scaling-efficiency evidence
+
+See BENCH/BASELINE.md §2 — executor-emulated (pinned separate-JVM
+workers) weak scaling passes the ≥0.8 gate at 1.009; the strong/weak
+matrix attributes every sub-0.8 configuration to the sandbox's single
+shared DRAM bus (fixed per-build cost F≈44 s + bus saturation at 4×240k
+aggregate working sets), not to the dataflow.
+"""
 
 
 if __name__ == "__main__":
