@@ -293,6 +293,7 @@ def parse_marking_info_str(
     raw: str | None,
     lower_text: bool = False,
     lower_parent: bool = True,
+    comma_mode: str = "one",
 ) -> list[dict] | None:
     """Pure-Python MarkingInfo parser (grammar at ts:2643-2655):
     entries '$'-separated; entry = text|img^head##desc@@i…~entry\\updated_@@e…@@t…
@@ -306,6 +307,18 @@ def parse_marking_info_str(
     CirNot ts:4490 / Commentary ts:7054 / Book ts:7587 loops; CaseLaws
     ts:2637 and News ts:8250 keep it raw); ``lower_parent=False`` keeps
     parentmarking case (News ts:8274 — every other loop lowercases).
+
+    ``comma_mode`` mirrors the three distinct leading-comma treatments of
+    parentmarking across the reference loops:
+
+    - ``"one"`` — CaseLaws ts:2654: ``.trim().replace(/^,/, '')`` — trim
+      both ends FIRST, then strip exactly ONE leading comma (a residual
+      leading space after the comma survives);
+    - ``"all_trim"`` — CirNot ts:4513 / Article ts:5808:
+      ``customTrimStart(x, ',').trim()`` — strip ALL leading commas from
+      the raw join, THEN trim;
+    - ``"all"`` — Commentary ts:7058 / Book ts:7601 / News ts:8274:
+      strip ALL leading commas, no trim at all.
     """
     if not raw:
         return None
@@ -344,8 +357,14 @@ def parse_marking_info_str(
                 pmark = upd.split("@@e")[1] if len(upd.split("@@e")) > 1 else ""
                 if "@@t" in m1:
                     pm = pmark.split("@@t")
-                    joined = (pm[0] + ", " + (pm[1] if len(pm) > 1 else "")).strip()
-                    pmv = joined.lstrip(",")
+                    joined = pm[0] + ", " + (pm[1] if len(pm) > 1 else "")
+                    if comma_mode == "one":
+                        j = joined.strip()
+                        pmv = j[1:] if j.startswith(",") else j
+                    elif comma_mode == "all_trim":
+                        pmv = joined.lstrip(",").strip()
+                    else:  # "all"
+                        pmv = joined.lstrip(",")
                     rec["parentmarking"] = pmv.lower() if lower_parent else pmv
         except (IndexError, AttributeError):
             pass
@@ -360,14 +379,29 @@ def parse_marking_info(col: pd.Series) -> pd.Series:
 
 @F.pandas_udf(MARKING_SCHEMA)
 def parse_marking_info_lower(col: pd.Series) -> pd.Series:
-    """CirNot/Commentary/Book variant: text lowercased."""
-    return col.map(lambda v: parse_marking_info_str(v, lower_text=True))
+    """CirNot/Article variant: text lowercased; parentmarking strips ALL
+    leading commas then trims (customTrimStart(...).trim(), ts:4513/5808)."""
+    return col.map(
+        lambda v: parse_marking_info_str(v, lower_text=True, comma_mode="all_trim")
+    )
+
+
+@F.pandas_udf(MARKING_SCHEMA)
+def parse_marking_info_lower_notrim(col: pd.Series) -> pd.Series:
+    """Commentary/Book variant: text lowercased; parentmarking strips ALL
+    leading commas with NO trim (ts:7058/7601)."""
+    return col.map(
+        lambda v: parse_marking_info_str(v, lower_text=True, comma_mode="all")
+    )
 
 
 @F.pandas_udf(MARKING_SCHEMA)
 def parse_marking_info_news(col: pd.Series) -> pd.Series:
-    """News variant: text raw AND parentmarking case preserved."""
-    return col.map(lambda v: parse_marking_info_str(v, lower_parent=False))
+    """News variant: text raw AND parentmarking case preserved; ALL leading
+    commas stripped, no trim (ts:8250,8274)."""
+    return col.map(
+        lambda v: parse_marking_info_str(v, lower_parent=False, comma_mode="all")
+    )
 
 
 # --- J2: intra-row semi-join — parent-section override --------------------

@@ -65,6 +65,7 @@ from .grammars import (
     parse_groups,
     parse_marking_info,
     parse_marking_info_lower,
+    parse_marking_info_lower_notrim,
     parse_marking_info_news,
     tokenize_crosstagging,
 )
@@ -2899,7 +2900,7 @@ def commentary_document(df: DataFrame, templateid: str = "") -> DataFrame:
     acts = _commentary_acts(F.col("DDA_Acts"))
     aaa = parse_aaa_standards_commentary(F.col("AAAAssociation"))
     rules = _article_rules(F.col("DDA_Rules"), pipe_filter=True)
-    marking = parse_marking_info_lower(F.col("MarkingInfo").cast("string"))
+    marking = parse_marking_info_lower_notrim(F.col("MarkingInfo").cast("string"))
 
     groups = F.when(
         groups_raw.contains(_MODELS_DRAFTS) | groups_raw.contains(_CHALLANS),
@@ -3360,7 +3361,7 @@ def commentary_book_document(
         )
     )
 
-    marking = parse_marking_info_lower(F.col("MarkingInfo").cast("string"))
+    marking = parse_marking_info_lower_notrim(F.col("MarkingInfo").cast("string"))
     taginfo = F.when(
         F.col("TagInfo").isNotNull() & (_s("TagInfo") != ""),
         F.filter(

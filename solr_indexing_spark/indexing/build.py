@@ -430,6 +430,13 @@ def build_index(
         pages, num_partitions=num_partitions, base_doc_id=base_doc_id,
         verify_extraction=verify_extraction, analyzer=analyzer,
     )
+    # capture the build_docs side-band state NOW: any transformation below
+    # (e.g. the verify-path .drop("_ext")) returns a fresh DataFrame that
+    # silently discards monkey-patched attributes, which previously leaked
+    # the range-shuffle cache and skipped the offset-count invariant leg
+    # whenever verify_extraction=True
+    docids_cache = getattr(docs, "_docids_cache", None)
+    docids_expected = getattr(docs, "_docids_expected", None)
     tok_udf, tf_udf, _, tfpos_udf = ANALYZERS[analyzer]
 
     if "_ext" in docs.columns:
@@ -456,10 +463,8 @@ def build_index(
     # ids are materialized in the parquet — release the range-shuffle cache
     # that pinned the docID/offset correspondence (leak fix: a long-lived
     # session building many segments would otherwise accumulate these)
-    docids_cache = getattr(docs, "_docids_cache", None)
     if docids_cache is not None:
         docids_cache.unpersist()
-    docids_expected = getattr(docs, "_docids_expected", None)
     docs_r = spark.read.parquet(f"{out_dir}/docs")
 
     # ---- docs-stage lineage from the written table (text pruned to a

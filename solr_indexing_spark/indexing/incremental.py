@@ -104,6 +104,7 @@ def topk_segments(
     query: str,
     k: int = 10,
     shard_range: int = 1 << 17,
+    dead=None,
 ) -> DataFrame:
     """BM25 top-k across several segments (pre-merge serving path).
 
@@ -111,6 +112,13 @@ def topk_segments(
     df summed from the union dictionary. Tombstoned docs are excluded from
     results; their residual contribution to df (until the next merge
     compacts them) matches standard segmented-index behavior.
+
+    ``dead``: optional precomputed dead set (the return of
+    ``union_dead(spark, [load_tombstones(spark, d) for d in seg_dirs])``).
+    High-QPS pre-merge serving should compute it once per segment
+    generation and pass it in — per-query recomputation re-reads the
+    tombstone parquet and, on the large-churn path, re-creates Spark
+    resources each call that are only reclaimed by the ContextCleaner.
     """
     mans = [read_manifest(d) for d in seg_dirs]
     num_buckets = {m["num_buckets"] for m in mans}
@@ -118,7 +126,10 @@ def topk_segments(
     if len(num_buckets) != 1 or len(analyzers) != 1:
         raise ValueError("segments disagree on num_buckets/analyzer")
 
-    dead = union_dead(spark, [load_tombstones(spark, d) for d in seg_dirs])
+    if dead is None:
+        dead = union_dead(
+            spark, [load_tombstones(spark, d) for d in seg_dirs]
+        )
     # live-doc stats: tombstones carry doclen, so the correction is exact
     n_total = sum(m["n_docs"] for m in mans)
     tok_total = sum(m["n_docs"] * m["avgdl"] for m in mans)

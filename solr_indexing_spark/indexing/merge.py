@@ -49,36 +49,21 @@ from .build import (
 )
 
 
-def _make_reblocker(
+def _make_group_reblocker(
     avgdl: float,
     num_buckets: int,
     block_size: int,
-    dead_ids: np.ndarray | None = None,
     has_pos: bool = False,
-    dead_bc=None,
 ):
-    """Streaming (mapInPandas) re-blocker over a partition hash-partitioned
-    by (term, merge_shard) and sorted by (term, merge_shard, first_doc_id).
-
-    Same rationale as the build's block builder: one group per distinct
-    term — millions of tiny groups at corpus scale — so per-GROUP
-    applyInPandas overhead would dominate; here each Python call walks all
-    groups of an Arrow batch, and a group straddling batches is carried
-    over in a list flushed once per flush (O(rows), never O(batches²)).
-
-    ``dead_ids``: sorted tombstoned doc_ids — their postings are dropped
-    during re-blocking, which is how a merge compacts deletes away
-    (Lucene-style: tombstones live only until the next merge). Above
-    ``TOMBSTONE_BROADCAST_THRESHOLD`` the caller passes ``dead_bc`` (a
-    Spark torrent broadcast of the same array) instead, so a large dead
-    set ships to executors once per node, not once per task closure.
+    """Shared per-(term, shard)-group re-block kernel — decode the group's
+    blocks, merge-sort postings by doc_id, drop dead ids, re-encode at
+    ``block_size``. Used by both the closure-dead mapInPandas path and the
+    cogrouped large-churn path.
 
     ``has_pos`` comes from the segment MANIFESTS (merge_segments rejects
     mixed positional/non-positional inputs up front) — sniffing it per
     (term, shard) group would mis-handle a group whose blocks happen to
     carry empty position blobs."""
-
-    cols = [f.name for f in POSTINGS_SCHEMA.fields]
 
     def reblock_group(
         term: str, shard: int, grows: list, dead_arr, t0: int
@@ -168,9 +153,41 @@ def _make_reblocker(
             )
         return rows
 
+    return reblock_group
+
+
+def _make_reblocker(
+    avgdl: float,
+    num_buckets: int,
+    block_size: int,
+    dead_ids: np.ndarray | None = None,
+    has_pos: bool = False,
+):
+    """Streaming (mapInPandas) re-blocker over a partition hash-partitioned
+    by (term, merge_shard) and sorted by (term, merge_shard, first_doc_id).
+
+    Same rationale as the build's block builder: one group per distinct
+    term — millions of tiny groups at corpus scale — so per-GROUP
+    applyInPandas overhead would dominate; here each Python call walks all
+    groups of an Arrow batch, and a group straddling batches is carried
+    over in a list flushed once per flush (O(rows), never O(batches²)).
+
+    ``dead_ids``: sorted tombstoned doc_ids riding the task closure —
+    their postings are dropped during re-blocking, which is how a merge
+    compacts deletes away (Lucene-style: tombstones live only until the
+    next merge). Bounded by ``TOMBSTONE_BROADCAST_THRESHOLD``: above it
+    merge_segments routes through the cogrouped path
+    (:func:`_make_cogroup_reblocker`) and the dead set never reaches the
+    driver at all."""
+
+    cols = [f.name for f in POSTINGS_SCHEMA.fields]
+    reblock_group = _make_group_reblocker(
+        avgdl, num_buckets, block_size, has_pos=has_pos
+    )
+
     def reblock_many(pdf: pd.DataFrame) -> pd.DataFrame:
         t0 = time.monotonic_ns()
-        dead_arr = dead_bc.value if dead_bc is not None else dead_ids
+        dead_arr = dead_ids
         terms = pdf["term"].to_numpy()
         shards = pdf["merge_shard"].to_numpy().astype(np.int64)
         n = len(pdf)
@@ -232,6 +249,52 @@ def _make_reblocker(
     return stream
 
 
+def _make_cogroup_reblocker(
+    avgdl: float,
+    num_buckets: int,
+    block_size: int,
+    has_pos: bool = False,
+):
+    """Large-churn re-blocker: cogrouped applyInPandas keyed on
+    (merge_shard, bucket). The tombstone DataFrame is shuffled by the SAME
+    key (dead ids replicated across the ``num_buckets`` bucket values), so
+    each task receives its own shard+bucket slice of blocks on the left and
+    the shard's dead ids on the right — the O(churn) dead set never
+    materializes on the driver and never rides a broadcast. Per-task dead
+    volume is churn/n_shards; per-task block volume is one doc-range
+    shard's postings for one bucket (1/num_buckets of the terms), the same
+    bound the build's bucket partitioning already guarantees."""
+
+    cols = [f.name for f in POSTINGS_SCHEMA.fields]
+    reblock_group = _make_group_reblocker(
+        avgdl, num_buckets, block_size, has_pos=has_pos
+    )
+
+    def reblock_cogroup(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        t0 = time.monotonic_ns()
+        if not len(left):
+            return pd.DataFrame([], columns=cols)
+        dead_arr = (
+            np.sort(right["doc_id"].to_numpy(np.int64)) if len(right) else None
+        )
+        left = left.sort_values(["term", "first_doc_id"], kind="stable")
+        shard = int(left["merge_shard"].iloc[0])
+        rows: list[tuple] = []
+        for term, g in left.groupby("term", sort=True):
+            grows = [
+                (
+                    int(r.first_doc_id), int(r.n_docs), bytes(r.doc_gaps),
+                    bytes(r.tfs), bytes(r.doclens), bytes(r.positions),
+                    bytes(r.pos_counts),
+                )
+                for r in g.itertuples()
+            ]
+            rows.extend(reblock_group(term, shard, grows, dead_arr, t0))
+        return pd.DataFrame(rows, columns=cols)
+
+    return reblock_cogroup
+
+
 def merge_segments(
     spark: SparkSession,
     seg_dirs: list[str],
@@ -267,7 +330,8 @@ def merge_segments(
     # tombstones of every input: compacted away by this merge
     tomb_dirs = [d for d in seg_dirs if os.path.exists(f"{d}/tombstones")]
     dead_ids: np.ndarray | None = None
-    dead_bc = None
+    tomb = None
+    n_dead = 0
     docs = spark.read.parquet(*[f"{d}/docs" for d in seg_dirs])
     if tomb_dirs:
         tomb = (
@@ -275,16 +339,16 @@ def merge_segments(
             .select("doc_id")
             .distinct()
         )
-        # Dead-id volume is bounded by churn since the last merge. The
-        # sorted array is built once on the driver (O(churn) — documented
-        # liveDocs trade-off); above the threshold it ships to executors as
-        # a torrent broadcast instead of riding every task closure.
-        dead_ids = np.sort(
-            np.array([r["doc_id"] for r in tomb.collect()], dtype=np.int64)
-        )
-        if len(dead_ids) > TOMBSTONE_BROADCAST_THRESHOLD:
-            dead_bc = spark.sparkContext.broadcast(dead_ids)
-            dead_ids = None
+        # Dead-id volume is bounded by churn since the last merge. Size is
+        # decided by a count() (a scalar) — below the threshold the sorted
+        # array rides the task closure; above it the dead set STAYS a
+        # DataFrame and the reblock runs cogrouped by (merge_shard, bucket),
+        # so the driver never materializes O(churn) rows.
+        n_dead = tomb.count()
+        if n_dead and n_dead <= TOMBSTONE_BROADCAST_THRESHOLD:
+            dead_ids = np.sort(
+                np.array([r["doc_id"] for r in tomb.collect()], dtype=np.int64)
+            )
         docs = docs.join(tomb, "doc_id", "left_anti")
 
     # docs: union of disjoint id ranges minus tombstones
@@ -310,23 +374,40 @@ def merge_segments(
     blocks_in = blocks_in.withColumn(
         "merge_shard", (F.col("first_doc_id") / merge_shard_range).cast("long")
     )
-    reblocker = _make_reblocker(
-        avgdl, num_buckets, block_size, dead_ids,
-        has_pos=has_pos, dead_bc=dead_bc,
-    )
-    merged = (
-        blocks_in.repartition("term", "merge_shard")
-        .sortWithinPartitions("term", "merge_shard", "first_doc_id")
-        .mapInPandas(reblocker, POSTINGS_SCHEMA)
-    )
+    if n_dead > TOMBSTONE_BROADCAST_THRESHOLD:
+        # large-churn path: dead ids stay executor-side; replicate each id
+        # across the bucket values so the cogroup key matches the blocks'
+        dead_rep = tomb.select(
+            (F.col("doc_id") / F.lit(merge_shard_range))
+            .cast("long")
+            .alias("merge_shard"),
+            F.explode(
+                F.sequence(F.lit(0), F.lit(num_buckets - 1))
+            ).alias("bucket"),
+            "doc_id",
+        )
+        merged = (
+            blocks_in.groupBy("merge_shard", "bucket")
+            .cogroup(dead_rep.groupBy("merge_shard", "bucket"))
+            .applyInPandas(
+                _make_cogroup_reblocker(
+                    avgdl, num_buckets, block_size, has_pos=has_pos
+                ),
+                POSTINGS_SCHEMA,
+            )
+        )
+    else:
+        reblocker = _make_reblocker(
+            avgdl, num_buckets, block_size, dead_ids, has_pos=has_pos
+        )
+        merged = (
+            blocks_in.repartition("term", "merge_shard")
+            .sortWithinPartitions("term", "merge_shard", "first_doc_id")
+            .mapInPandas(reblocker, POSTINGS_SCHEMA)
+        )
     merged.write.mode("overwrite").partitionBy("bucket").parquet(
         f"{out_dir}/postings"
     )
-    if dead_bc is not None:
-        # the reblocker has fully executed (postings written) — free the
-        # dead-id broadcast on driver + executors now instead of waiting
-        # for the ContextCleaner
-        dead_bc.destroy()
     blocks_r = spark.read.parquet(f"{out_dir}/postings")
     blocks_r.groupBy("term", "bucket").agg(
         F.sum("n_docs").alias("df"),

@@ -215,14 +215,48 @@ class BroadcastDeadSet:
             pass
 
 
+class TombstoneFrame:
+    """Large-churn dead set kept as a DataFrame of ``doc_id`` rows — never
+    materialized on the driver (the O(churn) ``collect`` is exactly the
+    driver-memory cliff this type exists to avoid). ``_topk_impl`` cogroups
+    it into the per-shard BMW kernel by doc-range shard, so each task sees
+    only its own shard's dead ids; ``merge`` anti-joins / cogroups it the
+    same way. Truthy by construction (only built for non-empty sets above
+    the closure threshold)."""
+
+    def __init__(self, df: DataFrame) -> None:
+        self.df = df
+
+    def __bool__(self) -> bool:
+        return True
+
+
 def union_dead(spark: SparkSession, sets: list):
-    """Union per-segment dead sets (frozensets and/or BroadcastDeadSets)
-    into one membership object, staying on the broadcast path as soon as
-    any input is broadcast-sized."""
+    """Union per-segment dead sets (frozensets, BroadcastDeadSets and/or
+    TombstoneFrames) into one membership object. Any DataFrame-backed
+    input keeps the result on the no-driver-materialization path."""
     small = frozenset().union(
         *[s for s in sets if isinstance(s, frozenset)]
     )
+    frames = [s.df for s in sets if isinstance(s, TombstoneFrame)]
     big = [s for s in sets if isinstance(s, BroadcastDeadSet)]
+    if frames:
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        extra = sorted(small)
+        for b in big:
+            extra.extend(int(x) for x in b.to_array())
+        if extra:
+            out = out.unionByName(
+                spark.createDataFrame(
+                    [(int(d),) for d in sorted(set(extra))], "doc_id long"
+                )
+            )
+        # segment doc ranges are disjoint so cross-segment dups can't
+        # occur, but unioned inputs may overlap with the extras — distinct
+        # keeps per-shard dead lists minimal
+        return TombstoneFrame(out.distinct())
     if not big:
         return small
     arrs = [s.to_array() for s in big]
@@ -240,17 +274,20 @@ def load_tombstones(
     """Tombstoned doc_ids of a segment (empty frozenset if none).
 
     Volume is bounded by churn since the last merge (merge compacts them
-    away) — the Lucene liveDocs trade-off. Small sets ride task closures
-    as a frozenset; past ``broadcast_threshold`` they become a
-    ``BroadcastDeadSet`` so executors fetch the array once per node."""
+    away) — the Lucene liveDocs trade-off. The size check is a ``count()``
+    (a scalar), NOT a collect: small sets ride task closures as a
+    frozenset; past ``broadcast_threshold`` the rows stay executor-side as
+    a :class:`TombstoneFrame` and the query path joins them in by shard —
+    the driver never materializes O(churn) rows."""
     if not os.path.exists(f"{index_dir}/tombstones"):
         return frozenset()
     df = spark.read.parquet(f"{index_dir}/tombstones").select("doc_id").distinct()
-    rows = df.collect()
-    if len(rows) <= broadcast_threshold:
-        return frozenset(r["doc_id"] for r in rows)
-    arr = np.sort(np.fromiter((r["doc_id"] for r in rows), dtype=np.int64))
-    return BroadcastDeadSet(spark.sparkContext.broadcast(arr))
+    n = df.count()
+    if n == 0:
+        return frozenset()
+    if n <= broadcast_threshold:
+        return frozenset(r["doc_id"] for r in df.collect())
+    return TombstoneFrame(df)
 
 
 class QuerySession:
@@ -393,9 +430,8 @@ def _topk_impl(
     )
     meta = dict(term_meta)
     kk, rr, avg = k, shard_range, avgdl
-    dead_b = dead
 
-    def run_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+    def shard_topk(pdf: pd.DataFrame, dead_local) -> pd.DataFrame:
         shard = int(pdf["shard"].iloc[0])
         lo, hi = shard * rr, (shard + 1) * rr
         cursors = []
@@ -420,10 +456,43 @@ def _topk_impl(
             c = _TermCursor(idf, ub, blist, lo, hi)
             if c.cur < _INF:
                 cursors.append(c)
-        results = bmw_shard_topk(cursors, kk, avg, dead=dead_b)
+        results = bmw_shard_topk(cursors, kk, avg, dead=dead_local)
         return pd.DataFrame(results, columns=["doc_id", "score"])
 
-    candidates = blocks.groupBy("shard").applyInPandas(run_shard, out_schema)
+    if isinstance(dead, TombstoneFrame):
+        # large-churn path: the dead set stays a DataFrame end-to-end.
+        # Shuffle it ONCE by the same doc-range shard key the blocks use,
+        # then cogroup — each BMW task receives exactly its shard's dead
+        # ids as the right-hand pandas frame. No driver materialization,
+        # no broadcast; dead volume per task is churn/n_shards.
+        dead_by_shard = dead.df.select(
+            (F.col("doc_id") / F.lit(shard_range)).cast("long").alias("shard"),
+            "doc_id",
+        )
+
+        def run_shard_cg(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            if not len(left):
+                # shard has tombstones but no matching postings
+                return pd.DataFrame(
+                    {
+                        "doc_id": pd.Series(dtype="int64"),
+                        "score": pd.Series(dtype="float64"),
+                    }
+                )
+            return shard_topk(left, frozenset(int(x) for x in right["doc_id"]))
+
+        candidates = (
+            blocks.groupBy("shard")
+            .cogroup(dead_by_shard.groupBy("shard"))
+            .applyInPandas(run_shard_cg, out_schema)
+        )
+    else:
+        dead_b = dead
+
+        def run_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+            return shard_topk(pdf, dead_b)
+
+        candidates = blocks.groupBy("shard").applyInPandas(run_shard, out_schema)
     return candidates.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 

@@ -37,7 +37,11 @@ def flatten_suggests(df: DataFrame, suggest_col: str = "Suggest") -> DataFrame:
     return (
         df.select(F.explode(suggest_col).alias("s"))
         .select(F.explode("s.Input").alias("raw"), F.col("s.Weight").alias("weight"))
-        .select(F.lower(F.col("raw")).alias("input"), "weight")
+        .select(
+            F.lower(F.col("raw")).alias("input"),
+            "weight",
+            F.col("raw").alias("display"),
+        )
         .filter(F.col("input").isNotNull() & (F.trim(F.col("input")) != ""))
     )
 
@@ -51,11 +55,26 @@ def build_completion_index(
     ``input`` is lowercased HERE, at build time, so the query-side prefix
     filter is over the raw stored column — ``StartsWith`` on a bare column
     is pushed to Parquet (min/max row-group pruning + PushedFilters), while
-    ``lower(input).startswith(p)`` would not be."""
+    ``lower(input).startswith(p)`` would not be.
+
+    The original casing is preserved in a companion ``display`` column
+    (Solr suggesters match case-insensitively but return the raw input;
+    all-lowercase results were a user-visible casing loss). Per lowercased
+    key the heaviest entry's original spelling wins (ties: greatest
+    spelling) — deterministic across partitionings. The prefix filter never
+    touches ``display``, so the Parquet pushdown is unaffected."""
+    src = completion
+    if "display" not in src.columns:
+        src = src.withColumn("display", F.col("input"))
     deduped = (
-        completion.withColumn("input", F.lower(F.col("input")))
+        src.withColumn("input", F.lower(F.col("input")))
         .groupBy("input")
-        .agg(F.max("weight").alias("weight"))
+        .agg(
+            F.max("weight").alias("weight"),
+            F.max(F.struct("weight", "display"))
+            .getField("display")
+            .alias("display"),
+        )
     )
     n = num_files or completion.sparkSession.sparkContext.defaultParallelism
     deduped.repartitionByRange(n, "input").sortWithinPartitions("input").write.mode(
@@ -81,11 +100,27 @@ def complete(
     groups via min/max stats on the sorted layout; the aggregation is
     partial+final over only the matching rows. A ``lower(input)`` wrapper
     here would defeat the pushdown — don't reintroduce it.
+
+    If the source carries a ``display`` column (tables written by
+    ``build_completion_index``) the original-cased spelling is returned
+    alongside; bare (input, weight) sources keep the two-column shape.
     """
     p = prefix.lower()
+    matched = source.filter(F.col("input").startswith(p))
+    if "display" in source.columns:
+        return (
+            matched.groupBy("input")
+            .agg(
+                F.max("weight").alias("weight"),
+                F.max(F.struct("weight", "display"))
+                .getField("display")
+                .alias("display"),
+            )
+            .orderBy(F.desc("weight"), F.asc("input"))
+            .limit(k)
+        )
     return (
-        source.filter(F.col("input").startswith(p))
-        .groupBy("input")
+        matched.groupBy("input")
         .agg(F.max("weight").alias("weight"))
         .orderBy(F.desc("weight"), F.asc("input"))
         .limit(k)

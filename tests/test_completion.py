@@ -136,3 +136,23 @@ def test_complete_dir_rejects_pre_v2_table(spark, tmp_path):
     ).write.parquet(out)
     with pytest.raises(ValueError, match="pre-v2|manifest"):
         complete_dir(spark, out, "al")
+
+
+def test_complete_returns_original_casing(spark, tmp_path):
+    """Inputs match case-insensitively (lowercased stored column keeps the
+    Parquet pushdown) but results carry the original spelling — the
+    heaviest entry's casing wins per key (Solr suggester behavior)."""
+    comp = spark.createDataFrame(
+        [("Income Tax Act", 20), ("income tax act", 5), ("Alpine Pass", 8)],
+        "input string, weight int",
+    )
+    out = str(tmp_path / "cased")
+    build_completion_index(comp, out, num_files=1)
+    got = complete_dir(spark, out, "Inc", k=5).collect()
+    assert [(r["input"], r["weight"], r["display"]) for r in got] == [
+        ("income tax act", 20, "Income Tax Act")
+    ]
+    got2 = complete_dir(spark, out, "alp", k=5).collect()
+    assert got2[0]["display"] == "Alpine Pass"
+    # bare (input, weight) sources keep the two-column shape
+    assert "display" not in complete(comp.select("input", "weight"), "alp").columns

@@ -242,3 +242,28 @@ def test_parse_arinfo(spark):
     a2 = arr[2]
     assert (a2["id"], a2["type"]) == ("321", "partial")
     assert a2["name"] == "" and a2["date"] == ""
+
+
+def test_marking_parentmarking_comma_modes():
+    """The three leading-comma treatments across reference loops:
+    CaseLaws ts:2654 trims FIRST then strips exactly ONE comma;
+    CirNot/Article ts:4513/5808 strip ALL commas then trim;
+    Commentary/Book/News ts:7058/7601/8274 strip ALL commas, no trim."""
+    raw = "T|i^H##D@@ix~20200101\\20200102_@@e,P1@@tP2"
+    # joined parentmark = ",P1, P2"
+    one = G.parse_marking_info_str(raw, comma_mode="one")
+    assert one[0]["parentmarking"] == "p1, p2"
+    all_trim = G.parse_marking_info_str(raw, comma_mode="all_trim")
+    assert all_trim[0]["parentmarking"] == "p1, p2"
+    # multi-comma input separates the modes
+    raw2 = "T|i^H##D@@ix~20200101\\20200102_@@e,,P1@@tP2"
+    one2 = G.parse_marking_info_str(raw2, comma_mode="one")
+    assert one2[0]["parentmarking"] == ",p1, p2"  # ONE comma stripped
+    at2 = G.parse_marking_info_str(raw2, comma_mode="all_trim")
+    assert at2[0]["parentmarking"] == "p1, p2"  # ALL stripped, then trim
+    # missing @@t tail: joined ends ", " — "all" keeps it (no trim)
+    raw3 = "T|i^H##D@@ix~20200101\\20200102_@@eP1@@t"
+    a3 = G.parse_marking_info_str(raw3, comma_mode="all")
+    assert a3[0]["parentmarking"] == "p1, "
+    t3 = G.parse_marking_info_str(raw3, comma_mode="all_trim")
+    assert t3[0]["parentmarking"] == "p1,"

@@ -217,25 +217,91 @@ def test_duplicate_tombstones_do_not_drift_stats(spark, tmp_path_factory):
     assert before == after
 
 
-def test_large_tombstone_broadcast_path(spark, base, monkeypatch):
-    """Above the size threshold load_tombstones returns a BroadcastDeadSet;
-    query results must be identical to the frozenset path."""
+def test_large_tombstone_frame_path(spark, base, monkeypatch):
+    """Above the size threshold load_tombstones returns a TombstoneFrame —
+    the dead rows are NEVER collected to the driver — and multi-segment
+    query results are identical to the frozenset path."""
+    from pyspark.sql import DataFrame
+
     from solr_indexing_spark.query import bmw as bmw_mod
 
     root, _ = base
     seg = str(root / "seg0")
     small = bmw_mod.load_tombstones(spark, seg)
-    big = bmw_mod.load_tombstones(spark, seg, broadcast_threshold=0)
     if not small:
         pytest.skip("no tombstones on seg0 yet (test ordering)")
-    assert isinstance(big, bmw_mod.BroadcastDeadSet)
-    assert len(big) == len(small)
-    some = next(iter(small))
-    assert some in big and (max(small) + 10_000) not in big
-    # a union across paths stays broadcast and preserves membership
-    u = bmw_mod.union_dead(spark, [big, frozenset({max(small) + 1})])
-    assert isinstance(u, bmw_mod.BroadcastDeadSet)
-    assert some in u and (max(small) + 1) in u
+
+    # collect spy: the large-churn load must not materialize rows
+    calls = []
+    orig_collect = DataFrame.collect
+    monkeypatch.setattr(
+        DataFrame, "collect",
+        lambda self: calls.append(1) or orig_collect(self),
+    )
+    big = bmw_mod.load_tombstones(spark, seg, broadcast_threshold=0)
+    assert isinstance(big, bmw_mod.TombstoneFrame)
+    assert not calls, "load_tombstones collected O(churn) rows on the driver"
+    monkeypatch.undo()
+    assert big.df.count() == len(small)
+
+    # a union across paths stays on the DataFrame path, preserves membership
+    extra = max(small) + 1
+    u = bmw_mod.union_dead(spark, [big, frozenset({extra})])
+    assert isinstance(u, bmw_mod.TombstoneFrame)
+    ids = {r["doc_id"] for r in u.df.collect()}
+    assert small <= ids and extra in ids
+
+    # end-to-end rank identity: frozenset path vs cogrouped-frame path
+    segs = [str(root / "seg0"), str(root / "seg_chg")]
+    for q in QUERIES:
+        a = [(r["doc_id"], round(r["score"], 9))
+             for r in topk_segments(spark, segs, q, k=10).collect()]
+        dead_frame = bmw_mod.union_dead(
+            spark,
+            [bmw_mod.load_tombstones(spark, d, broadcast_threshold=0)
+             for d in segs],
+        )
+        b = [(r["doc_id"], round(r["score"], 9))
+             for r in topk_segments(spark, segs, q, k=10,
+                                    dead=dead_frame).collect()]
+        assert a == b, f"query {q!r}"
+
+
+def test_merge_large_churn_cogroup_path(spark, base, tmp_path_factory, monkeypatch):
+    """Merging with churn above the threshold routes through the cogrouped
+    reblocker (no driver collect of dead ids) and produces a segment that
+    serves results identical to the small-churn merge."""
+    from pyspark.sql import DataFrame
+
+    from solr_indexing_spark.indexing import merge as merge_mod
+
+    root, _ = base
+    segs = [str(root / "seg0"), str(root / "seg_chg")]
+    out_small = str(tmp_path_factory.mktemp("mg") / "small")
+    out_big = str(tmp_path_factory.mktemp("mg") / "big")
+    merge_mod.merge_segments(spark, segs, out_small)
+
+    calls = []
+    orig_collect = DataFrame.collect
+    monkeypatch.setattr(merge_mod, "TOMBSTONE_BROADCAST_THRESHOLD", 0)
+    monkeypatch.setattr(
+        DataFrame, "collect",
+        lambda self: calls.append(1) or orig_collect(self),
+    )
+    try:
+        merge_mod.merge_segments(spark, segs, out_big)
+    finally:
+        monkeypatch.undo()
+    # the stats row + docs lineage are scalar/bounded collects; the dead-id
+    # table itself must not be collected — bounded call count, not O(churn)
+    assert len(calls) <= 3
+
+    for q in QUERIES:
+        a = [(r["doc_id"], round(r["score"], 9))
+             for r in topk(spark, out_small, q, k=10).collect()]
+        b = [(r["doc_id"], round(r["score"], 9))
+             for r in topk(spark, out_big, q, k=10).collect()]
+        assert a == b, f"query {q!r}"
 
 
 def test_stopword_analyzer_variant(spark, tmp_path_factory):

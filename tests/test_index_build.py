@@ -91,3 +91,18 @@ def test_doc_ids_stable_across_partitioning(spark, pages_df, tmp_path_factory):
         for r in build_docs(pages_df, num_partitions=7).select("url", "doc_id").collect()
     }
     assert a == b
+
+
+def test_verify_path_releases_docids_cache(spark, pages_df, tmp_path_factory):
+    """verify_extraction=True takes the .drop("_ext") branch, which returns
+    a fresh DataFrame without the monkey-patched _docids_cache attribute —
+    the capture must happen BEFORE that drop, or the range-shuffle cache
+    leaks (and the offset-count invariant leg silently no-ops)."""
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    out = str(tmp_path_factory.mktemp("vrel") / "seg")
+    build_index(spark, pages_df, out, num_buckets=4, verify_extraction=True)
+    after = jsc.getPersistentRDDs().size()
+    assert after <= before, (
+        f"persistent RDDs grew {before} -> {after}: docids cache leaked"
+    )
