@@ -53,6 +53,14 @@ FT_QUERIES = {
 FT_TERMS = ["data", "query", "spark", "table", "value", "fast", "join", "scan"]
 
 
+# S5 side-file corpus (committed fixtures; tools/gen_sidefiles.py) — the
+# Spark side reads it via the binaryFile source, the DuckDB oracle via
+# read_text(); both join on the file name
+SIDEFILES_DIR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "fixtures", "sidefiles"
+)
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -1442,7 +1450,12 @@ def _dp_commentary_assembly(spark, sf_dir):
 def _dp_aaa_assembly(spark, sf_dir):
     """The COMPOSED AAA pipeline (docprep.pipelines.aaa_document,
     solrIndexCreation.ts:7656-8064): the boolean-year quirk, offset
-    groups, masterinfo pools + appended associations, paragraphinfo."""
+    groups, masterinfo pools + appended associations, paragraphinfo —
+    plus the S5 side-file content read (ts:7689-7698): CompareFileInfo's
+    packed path broadcast-joins the binaryFile corpus; a missing file
+    nulls BOTH comparefilecontent and comparefileheading (the reference
+    assigns them only inside ``if (File.Exists)``)."""
+    from solr_indexing_spark.docprep import sidefiles
     from solr_indexing_spark.docprep.pipelines import aaa_document
 
     orders = _tbl(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 300)
@@ -1469,8 +1482,20 @@ def _dp_aaa_assembly(spark, sf_dir):
             F.lit("@Para "), ks,
         ).alias("paragraphinfo"),
         (k % 3000).cast("string").alias("sortheadingnumber"),
+        # k%5==0 → no CompareFileInfo (the !!dr[...] falsy gate);
+        # otherwise the packed path hits a fixture file only when
+        # k%3 != 1 (gen_sidefiles.py), exercising both File.Exists arms
+        F.when(
+            k % 5 != 0,
+            F.concat(
+                F.lit("C|aaa_cmp_"), ks, F.lit(".txt^CmpHead "), ks
+            ),
+        ).alias("CompareFileInfo"),
     )
     doc = aaa_document(packed, templateid="T")
+    doc = sidefiles.attach_compare_file_content(
+        doc, sidefiles.load_side_files(spark, SIDEFILES_DIR)
+    )
     info = F.col("masterinfo")["info"]
     return doc.select(
         F.col("id").alias("doc_id_str"),
@@ -1492,6 +1517,15 @@ def _dp_aaa_assembly(spark, sf_dir):
         F.element_at("paragraphinfo", 1)["cid"].alias("para_cid"),
         F.element_at("paragraphinfo", 1)["ordering"].alias("para_ord"),
         F.col("sortnumber").alias("sortnumber"),
+        # coalesce to sentinels: the driver's DuckDB compare treats
+        # null != null
+        F.coalesce("comparefilepath", F.lit("<none>")).alias("cmp_path"),
+        F.coalesce("comparefileheading", F.lit("<none>")).alias(
+            "cmp_heading"
+        ),
+        F.coalesce("comparefilecontent", F.lit("<none>")).alias(
+            "cmp_content"
+        ),
     )
 
 
@@ -1596,7 +1630,11 @@ def _dp_modelreport_assembly(spark, sf_dir):
     """The COMPOSED AAAModelReport pipeline (docprep.pipelines.
     aaa_model_report_document, solrIndexCreation.ts:9140-9400):
     '^'-packed year, 18+-char-gated area/clause/company/industry
-    masters, the always-1900 date quirk."""
+    masters, the always-1900 date quirk — plus the S5 side-file override
+    (ts:9176-9183): when ``url`` names an existing file its text REPLACES
+    the composed fullcontent, else the composed value (which the
+    reference assigns only on the '<header>' branch) stands."""
+    from solr_indexing_spark.docprep import sidefiles
     from solr_indexing_spark.docprep.pipelines import (
         aaa_model_report_document,
     )
@@ -1626,8 +1664,24 @@ def _dp_modelreport_assembly(spark, sf_dir):
         F.concat(
             F.date_format("o_orderdate", "yyyyMMdd"), F.lit("^x")
         ).alias("documentdate"),
+        # k%7==3 → empty url (the !!url falsy gate); the named file
+        # exists only when k%4 != 2 (gen_sidefiles.py)
+        F.when(k % 7 != 3, F.concat(F.lit("mr_"), ks, F.lit(".txt")))
+        .otherwise(F.lit("")).alias("url"),
+        # composed fullcontent is assigned ONLY on the '<header>' branch
+        # (ts:9161-9174 quirk): odd keys stay null unless the side file
+        # overrides
+        F.when(
+            k % 2 == 0,
+            F.concat(F.lit("<header>m</header>Composed body "), ks),
+        ).otherwise(F.concat(F.lit("Plain text "), ks)).alias(
+            "fullcontent"
+        ),
     )
     doc = aaa_model_report_document(packed, templateid="T")
+    doc = sidefiles.attach_model_report_content(
+        doc, sidefiles.load_side_files(spark, SIDEFILES_DIR)
+    )
     info = F.col("masterinfo")["info"]
     return doc.select(
         F.col("id").alias("doc_id_str"),
@@ -1643,6 +1697,9 @@ def _dp_modelreport_assembly(spark, sf_dir):
         F.col("formatteddocumentdate").cast("string").alias("fmt_date"),
         F.col("sortheadingnumber").alias("shn"),
         F.col("boostpopularity").alias("boostpop"),
+        F.col("filenamepath").alias("fn_path"),
+        # never null: the composer's no-'<header>' branch emits ''
+        F.col("fullcontent").alias("fullcontent"),
     )
 
 
@@ -2408,7 +2465,10 @@ from orders where o_orderkey < 300
 
 
 def _dp_aaa_assembly_sql() -> str:
-    return """
+    # the oracle READS the same side-file corpus the Spark entry joins
+    # (read_text vs binaryFile), so content parity is checked against
+    # bytes on disk, not a re-derivation of the generator formula
+    return f"""
 select 'AA' || o_orderkey::varchar as doc_id_str,
   'true' as year_id, 'true' as year_name,
   case when o_orderkey % 2 = 0 then 3000 else 950 end as boost,
@@ -2420,8 +2480,21 @@ select 'AA' || o_orderkey::varchar as doc_id_str,
   lpad(o_custkey::varchar, 18, '0') as para_pid,
   'C' || o_orderkey::varchar as para_cid,
   (o_orderkey % 50)::int as para_ord,
-  (o_orderkey % 3000)::int as sortnumber
-from orders where o_orderkey < 300
+  (o_orderkey % 3000)::int as sortnumber,
+  case when o_orderkey % 5 <> 0
+       then 'aaa_cmp_' || o_orderkey::varchar || '.txt'
+       else '<none>' end as cmp_path,
+  case when o_orderkey % 5 <> 0 and sf.content is not null
+       then 'CmpHead ' || o_orderkey::varchar
+       else '<none>' end as cmp_heading,
+  coalesce(sf.content, '<none>') as cmp_content
+from orders
+left join (
+  select regexp_extract(filename, '[^/]+$') as fname, content
+  from read_text('{SIDEFILES_DIR}/aaa_cmp_*.txt')
+) sf on o_orderkey % 5 <> 0
+    and sf.fname = 'aaa_cmp_' || o_orderkey::varchar || '.txt'
+where o_orderkey < 300
 """
 
 
@@ -2458,7 +2531,10 @@ from orders where o_orderkey < 300
 
 
 def _dp_modelreport_assembly_sql() -> str:
-    return """
+    # fullcontent precedence mirrors ts:9176-9183: side-file text when
+    # the url's file exists, else the composed '<header>'-branch value
+    # (odd keys never got one — the reference quirk), else null sentinel
+    return f"""
 select 'MR' || o_orderkey::varchar as doc_id_str,
   (2000 + o_orderkey % 20)::varchar as year_name,
   'Industry ' || o_orderkey::varchar as industry_name,
@@ -2471,8 +2547,22 @@ select 'MR' || o_orderkey::varchar as doc_id_str,
   strftime(o_orderdate, '%Y%m%d') as documentdate,
   '1900-01-01' as fmt_date,
   '0' as shn,
-  10 as boostpop
-from orders where o_orderkey < 300
+  10 as boostpop,
+  case when o_orderkey % 7 <> 3
+       then 'mr_' || o_orderkey::varchar || '.txt'
+       else '' end as fn_path,
+  coalesce(
+    sf.content,
+    case when o_orderkey % 2 = 0
+         then 'Composed body ' || o_orderkey::varchar end,
+    '') as fullcontent
+from orders
+left join (
+  select regexp_extract(filename, '[^/]+$') as fname, content
+  from read_text('{SIDEFILES_DIR}/mr_*.txt')
+) sf on o_orderkey % 7 <> 3
+    and sf.fname = 'mr_' || o_orderkey::varchar || '.txt'
+where o_orderkey < 300
 """
 
 

@@ -42,6 +42,7 @@ Faithful-quirk notes (deviations are documented here, not silent):
 
 from __future__ import annotations
 
+from ..plancache import plan_cached
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -54,6 +55,7 @@ from .citations import (
     sortheadingnumber_from_citations,
 )
 from .enrich import OTHER_ACT_ID, OTHER_ACT_NAME, OTHER_ACT_ORDERING
+from . import sidefiles
 from .grammars import (
     COMPANY_CATEGORY_ID,
     FEMA_CATEGORY_ID,
@@ -123,10 +125,15 @@ def ensure_columns(df: DataFrame, cols: list[str]) -> DataFrame:
     DataTable addressing is by name with pervasive null guards, so a
     subset-schema input must behave like a full row of nulls."""
     present = set(df.columns)
-    for c in cols:
-        if c not in present:
-            df = df.withColumn(c, F.lit(None).cast("string"))
-    return df
+    missing = [c for c in cols if c not in present]
+    if not missing:
+        return df
+    # ONE select, not a withColumn chain: every chained withColumn re-analyzes
+    # the growing plan (a py4j round trip + Catalyst resolution each), which
+    # measured as the dominant share of the ~20 s per-pipeline driver constant
+    return df.select(
+        "*", *[F.lit(None).cast("string").alias(c) for c in missing]
+    )
 
 
 def popular_acts_map(variant: str = "case_final") -> Column:
@@ -468,6 +475,7 @@ CASE_LAWS_INPUT_COLUMNS = [
 ]
 
 
+@plan_cached("case_laws")
 def case_laws_document(
     df: DataFrame, templateid: str = "", popular_variant: str = "case_final"
 ) -> DataFrame:
@@ -1031,6 +1039,7 @@ def finalize_fullcontent_chain(body: Column, boost_text: Column) -> Column:
     )
 
 
+@plan_cached("cirnot")
 def cirnot_document(
     df: DataFrame, doc_type: int = 4, templateid: str = ""
 ) -> DataFrame:
@@ -1301,6 +1310,7 @@ def parse_ca_comparison(col: Column | str) -> Column:
     return F.when(ok, F.transform(elems, build))
 
 
+@plan_cached("case_laws_partial")
 def case_laws_partial_document(
     df: DataFrame, popular_variant: str = "case_final"
 ) -> DataFrame:
@@ -1488,6 +1498,7 @@ def _digest_ilt(dtd0: Column) -> Column:
     )
 
 
+@plan_cached("case_finder")
 def case_finder_documents(
     df: DataFrame, templateid: str = ""
 ) -> DataFrame:
@@ -2101,6 +2112,7 @@ def _aaa_paragraphs(col: Column | str) -> Column:
     return F.when(c.isNotNull() & (c != ""), built)
 
 
+@plan_cached("aaa")
 def aaa_document(df: DataFrame, templateid: str = "") -> DataFrame:
     """AAAIndex re-expressed (solrIndexCreation.ts:7656-8064) — audit /
     accounting / auditing standards content.
@@ -2115,9 +2127,13 @@ def aaa_document(df: DataFrame, templateid: str = "") -> DataFrame:
     ''; sortnumber only when sortheadingnumber parses under 2^31;
     masterinfo pools + AAAAssociation appended into accountingstandard/
     indas; documentdate RAW (no '^' split; formatted/updated dates read
-    its 'yyyy-mm-dd' prefix). CompareFileInfo's side-file READ is a
-    no-op stub (S5/S6): comparefileheading parses; comparefilecontent is
-    null."""
+    its 'yyyy-mm-dd' prefix). CompareFileInfo's side-file READ
+    (ts:7689-7698) lives in sidefiles.attach_compare_file_content — the
+    composer stays a linear map stage and emits the parsed
+    ``comparefilepath`` join key plus the parse-level heading; the attach
+    step broadcast-joins the side-file table, fills comparefilecontent,
+    and nulls the heading for missing files (the reference assigns both
+    only inside ``if (File.Exists)``)."""
     if "heading" in df.columns and "Heading" in df.columns:
         raise ValueError(
             "input carries both 'heading' and 'Heading' — ambiguous"
@@ -2249,6 +2265,12 @@ def aaa_document(df: DataFrame, templateid: str = "") -> DataFrame:
         ).otherwise(F.lit(950)).alias("documenttypeboost"),
         comparefileheading.alias("comparefileheading"),
         F.lit(None).cast("string").alias("comparefilecontent"),
+        # join key for the S5 side-file read (sidefiles.py): the parsed
+        # relative attachment path; attach_compare_file_content fills
+        # comparefilecontent and enforces the existence gate on heading
+        sidefiles.compare_file_relpath(F.col("CompareFileInfo")).alias(
+            "comparefilepath"
+        ),
         year_struct.alias("year"),
         _aaa_categories(F.col("categoriescentax")).alias("categories"),
         groups.alias("groups"),
@@ -2316,6 +2338,7 @@ AAA_MODEL_REPORT_INPUT_COLUMNS = [
 ]
 
 
+@plan_cached("aaa_model_report")
 def aaa_model_report_document(
     df: DataFrame, templateid: str = ""
 ) -> DataFrame:
@@ -2323,8 +2346,11 @@ def aaa_model_report_document(
     — model audit reports.
 
     Faithful quirks kept: fullcontent is '' unless the input contains a
-    '<header>' (only the header-stripped branch assigns it; the side-file
-    re-read is an S5 no-op — at web scale content is a column);
+    '<header>' (only the header-stripped branch assigns it); the
+    side-file re-read (ts:9176-9183) is
+    sidefiles.attach_model_report_content — a broadcast join on
+    filenamepath that overrides fullcontent when the file exists, keeping
+    this composer a linear map stage;
     year splits '^' into id/name; the AAA simplified category grammar;
     4-level '#'-ordering groups; sortheading '' and sortheadingnumber
     '0'; masterinfo pools (company/industry from 'associates', area/
@@ -2477,7 +2503,7 @@ def aaa_model_report_document(
         F.lower(F.trim(_s("documentformat"))).alias("documentformat"),
         F.trim(_s("url")).alias("filenamepath"),
         # only the header-strip branch assigns content (ts:9161-9174);
-        # the side-file re-read is an S5 no-op
+        # the side-file override happens in attach_model_report_content
         F.when(
             _s("fullcontent").contains("<header>"),
             removed_header_tag(_s("fullcontent")),
@@ -2833,6 +2859,7 @@ def _commentary_acts(col: Column | str) -> Column:
     )
 
 
+@plan_cached("commentary")
 def commentary_document(df: DataFrame, templateid: str = "") -> DataFrame:
     """CommentaryIndex re-expressed (solrIndexCreation.ts:6498-7148).
 
@@ -3160,6 +3187,7 @@ COMMENTARY_BOOK_INPUT_COLUMNS = [
 ]
 
 
+@plan_cached("commentary_book")
 def commentary_book_document(
     df: DataFrame, templateid: str = ""
 ) -> DataFrame:
@@ -3542,6 +3570,7 @@ def _treaty_groups(col: Column | str) -> Column:
     )
 
 
+@plan_cached("treaty")
 def treaty_document(
     df: DataFrame, doc_type: int = 8, templateid: str = ""
 ) -> DataFrame:
@@ -3828,6 +3857,7 @@ def _news_groups(col: Column | str, doc_type: int) -> Column:
     )
 
 
+@plan_cached("news")
 def news_document(
     df: DataFrame, doc_type: int = 5, templateid: str = ""
 ) -> DataFrame:
@@ -4106,6 +4136,7 @@ def _form_masterinfo(col: Column | str, pdf_path: Column) -> Column:
     )
 
 
+@plan_cached("form")
 def form_document(df: DataFrame, templateid: str = "") -> DataFrame:
     """FormIndex re-expressed (solrIndexCreation.ts:3194-3801) — tax
     forms (docType 3). Same narrow-plan contract as the other pipelines.
@@ -4594,6 +4625,7 @@ def _e_(col: Column) -> Column:
     return F.coalesce(col, F.lit(""))
 
 
+@plan_cached("article")
 def article_document(df: DataFrame, templateid: str = "") -> DataFrame:
     """ArticleIndex re-expressed (solrIndexCreation.ts:4701-5920) —
     expert articles. Same narrow-plan contract as the other pipelines.
@@ -4923,6 +4955,7 @@ _SUBGROUP_2019_IDS = (
 )
 
 
+@plan_cached("act_rule")
 def act_rule_document(
     df: DataFrame, doc_type: int = 1, templateid: str = ""
 ) -> DataFrame:
