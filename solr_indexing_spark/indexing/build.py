@@ -28,6 +28,7 @@ from __future__ import annotations
 import json
 import math
 import os
+import shutil
 import time
 
 import numpy as np
@@ -41,7 +42,9 @@ from ..codec import vbyte_encode, vbyte_encode_chunked
 from ..textprep import (
     ANALYZERS,
     EXTRACTOR_VERSION,
+    STOPWORDS,
     TOKENIZER_VERSION,
+    doclens_dual,
     extract_text,
     extract_text_safe,
     tokenize,
@@ -79,6 +82,15 @@ POSTINGS_SCHEMA = T.StructType(
     ]
 )
 
+# dual-build stream schema: the single posting stream is tagged per
+# analyzer variant (0 = default, 1 = stopword) and written
+# partitionBy(variant, bucket); the variant layer is then renamed away so
+# each segment's postings/ has the standard bucket=*/ layout
+POSTINGS_SCHEMA_DUAL = T.StructType(
+    POSTINGS_SCHEMA.fields
+    + [T.StructField("variant", T.IntegerType(), False)]
+)
+
 
 def tf_norm(tf: np.ndarray, doclen: np.ndarray, avgdl: float) -> np.ndarray:
     """BM25 term-frequency saturation (idf-independent part)."""
@@ -92,6 +104,7 @@ def _make_block_builder(
     block_size: int,
     head_terms: list[str] | None = None,
     salt_range: int = 1 << 16,
+    dual: tuple[float, frozenset] | None = None,
 ):
     """Streaming (mapInArrow) block builder over a partition that is
     hash-partitioned by (term, salt) and sorted by (term[, salt], doc_id).
@@ -109,6 +122,17 @@ def _make_block_builder(
     group boundaries are found vectorized, and a group that straddles a
     batch boundary is carried over in a buffer.
 
+    ``dual``: ``(avgdl_stop, stopword_set)`` — single-pass dual-analyzer
+    mode (reference posts every batch to BOTH IndexName and
+    IndexNameStopword, solrIndexCreation.ts:877-880). Each flushed chunk
+    then ALSO emits variant-1 blocks: rows whose term is a stopword are
+    dropped (Arrow is_in kernel) and norms use the row's ``doclen_stop``
+    column with ``avgdl_stop`` — exactly what the stopword analyzer's own
+    stream would contain, because that analyzer is the default stream
+    minus stop terms (position gaps preserved, textprep.py). Output rows
+    gain a ``variant`` int column (0 = default, 1 = stopword) for the
+    partitioned dual write; single mode keeps the schema unchanged.
+
     Why Arrow batches and not pandas (round-2 change): the mapInPandas
     path materialized a Python str OBJECT per row for the term column —
     at 60 M (doc, term) rows that is 60 M allocations plus object-header
@@ -124,10 +148,31 @@ def _make_block_builder(
     import pyarrow.compute as pc
     from pyspark.sql.pandas.types import to_arrow_schema
 
-    out_schema = to_arrow_schema(POSTINGS_SCHEMA)
+    out_schema = to_arrow_schema(
+        POSTINGS_SCHEMA_DUAL if dual else POSTINGS_SCHEMA
+    )
     head_arr = (
         pa.array(sorted(head_terms)) if head_terms else None
     )
+    stop_arr = pa.array(sorted(dual[1])) if dual else None
+
+    def _stop_view(rb: "pa.RecordBatch"):
+        """Variant-1 projection: drop stopword-term rows and let the
+        row's doclen_stop stand in as doclen (name-based lookup below)."""
+        names = rb.schema.names
+        mask = pc.invert(
+            pc.is_in(rb.column(names.index("term")), value_set=stop_arr)
+        )
+        tbl = pa.Table.from_batches([rb]).filter(mask)
+        if tbl.num_rows == 0:
+            return None
+        data = {}
+        for nm in tbl.schema.names:
+            if nm == "doclen":
+                continue
+            data["doclen" if nm == "doclen_stop" else nm] = tbl.column(nm)
+        t2 = pa.table(data).combine_chunks()
+        return t2.to_batches(max_chunksize=t2.num_rows)[0]
 
     def salts_of(rb: "pa.RecordBatch", ids_t: np.ndarray) -> np.ndarray:
         names = rb.schema.names
@@ -141,7 +186,9 @@ def _make_block_builder(
             out[is_head] = ids_t[is_head] // salt_range
         return out
 
-    def blocks_for(rb: "pa.RecordBatch") -> "pa.RecordBatch":
+    def blocks_for(
+        rb: "pa.RecordBatch", avgdl_: float = avgdl, variant: int | None = None
+    ) -> "pa.RecordBatch":
         t0 = time.monotonic_ns()
         names = rb.schema.names
         nt = rb.num_rows
@@ -173,7 +220,7 @@ def _make_block_builder(
         doc_ids = ids_t[rstarts]
         doclens = dls_t[rstarts]
         term_runs = term_a.take(pa.array(rstarts))
-        norms = tf_norm(tfs, doclens, avgdl)
+        norms = tf_norm(tfs, doclens, avgdl_)
         n = len(rstarts)
         change = np.empty(n, dtype=bool)
         change[0] = True
@@ -248,25 +295,25 @@ def _make_block_builder(
 
         # amortize the partition's wall over its blocks (lineage metric)
         us = (time.monotonic_ns() - t0) // 1000 // max(n_blocks, 1)
-        return pa.RecordBatch.from_arrays(
-            [
-                term_runs.take(pa.array(bstarts)),  # zero-copy block terms
-                pa.array(group_buckets[g_of_block].astype(np.int32)),
-                pa.array(block_ids.astype(np.int32)),
-                pa.array(doc_ids[bstarts]),
-                pa.array(doc_ids[bends - 1]),
-                pa.array(ndocs.astype(np.int32)),
-                pa.array(gaps_enc, type=pa.binary()),
-                pa.array(tfs_enc, type=pa.binary()),
-                pa.array(dls_enc, type=pa.binary()),
-                pa.array(bmax),
-                pa.array(sum_tf.astype(np.int64)),
-                pa.array(np.full(n_blocks, us, dtype=np.int64)),
-                pa.array(pos_enc, type=pa.binary()),
-                pa.array(cnt_enc, type=pa.binary()),
-            ],
-            schema=out_schema,
-        )
+        arrays = [
+            term_runs.take(pa.array(bstarts)),  # zero-copy block terms
+            pa.array(group_buckets[g_of_block].astype(np.int32)),
+            pa.array(block_ids.astype(np.int32)),
+            pa.array(doc_ids[bstarts]),
+            pa.array(doc_ids[bends - 1]),
+            pa.array(ndocs.astype(np.int32)),
+            pa.array(gaps_enc, type=pa.binary()),
+            pa.array(tfs_enc, type=pa.binary()),
+            pa.array(dls_enc, type=pa.binary()),
+            pa.array(bmax),
+            pa.array(sum_tf.astype(np.int64)),
+            pa.array(np.full(n_blocks, us, dtype=np.int64)),
+            pa.array(pos_enc, type=pa.binary()),
+            pa.array(cnt_enc, type=pa.binary()),
+        ]
+        if variant is not None:
+            arrays.append(pa.array(np.full(n_blocks, variant, dtype=np.int32)))
+        return pa.RecordBatch.from_arrays(arrays, schema=out_schema)
 
     def _concat(rbs: list) -> "pa.RecordBatch":
         tbl = pa.Table.from_batches(rbs).combine_chunks()
@@ -276,6 +323,15 @@ def _make_block_builder(
         # combine_chunks yields one chunk per column; to_batches can still
         # split on max_chunksize — re-batch through a single table pass
         return tbl.to_batches(max_chunksize=tbl.num_rows)[0]
+
+    def emit(chunk):
+        if dual is None:
+            yield blocks_for(chunk)
+            return
+        yield blocks_for(chunk, avgdl, 0)
+        sv = _stop_view(chunk)
+        if sv is not None:
+            yield blocks_for(sv, dual[0], 1)
 
     def stream(batches):
         # `pending` accumulates batches whose trailing group may continue in
@@ -310,12 +366,12 @@ def _make_block_builder(
             if pending:
                 head = _concat(pending + [head])
                 pending = []
-            yield blocks_for(head)
+            yield from emit(head)
             pending = [tail_rb]
         if pending:
             rest = _concat(pending) if len(pending) > 1 else pending[0]
             if rest.num_rows:
-                yield blocks_for(rest)
+                yield from emit(rest)
 
     return stream
 
@@ -377,98 +433,17 @@ def build_docs(
     return out
 
 
-def build_index(
+def _docs_lineage(
     spark: SparkSession,
-    pages: DataFrame,
-    out_dir: str,
-    num_buckets: int = 16,
-    block_size: int = BLOCK_SIZE,
-    salt_df_threshold: int = 100_000,
-    salt_range: int = 1 << 16,
-    num_partitions: int | None = None,
-    base_doc_id: int = 0,
-    verify_extraction: bool = False,
-    analyzer: str = "default",
-    store_positions: bool = False,
-) -> dict:
-    """Build one index segment under ``out_dir``. Returns manifest dict.
-
-    Layout: docs/ postings/ (partitioned by bucket) dictionary/ stats/
-    lineage/ _manifest.json. Commit is atomic at the manifest write: readers
-    (query side, merge) treat a segment without _manifest.json as absent.
-    """
-    t_start = time.monotonic()
-    os.makedirs(out_dir, exist_ok=True)
-
-    # ---- dead-letter quarantine (reference: per-row try/catch →
-    # LogErrorId file, common.ts:304-326; here an errors table) ----------
-    # Rows that cannot become documents (failed/empty extraction, null
-    # url) are routed to {out_dir}/errors instead of killing the build.
-    if "text" not in pages.columns:
-        ext = pages.withColumn("_sx", extract_text_safe(F.col("html")))
-        bad = F.col("_sx.error").isNotNull() | F.col("url").isNull()
-        quarantine = ext.filter(bad).select(
-            "url",
-            F.coalesce(F.col("_sx.error"), F.lit("null-url")).alias("reason"),
-        )
-        pages = (
-            ext.filter(~bad)
-            .withColumn("text", F.col("_sx.text"))
-            .drop("_sx")
-        )
-    else:
-        quarantine = pages.filter(F.col("url").isNull()).select(
-            "url", F.lit("null-url").alias("reason")
-        )
-        pages = pages.filter(F.col("url").isNotNull())
-    quarantine.withColumn("stage", F.lit("docprep")).write.mode(
-        "overwrite"
-    ).parquet(f"{out_dir}/errors")
-    n_quarantined = spark.read.parquet(f"{out_dir}/errors").count()
-
-    docs = build_docs(
-        pages, num_partitions=num_partitions, base_doc_id=base_doc_id,
-        verify_extraction=verify_extraction, analyzer=analyzer,
-    )
-    # capture the build_docs side-band state NOW: any transformation below
-    # (e.g. the verify-path .drop("_ext")) returns a fresh DataFrame that
-    # silently discards monkey-patched attributes, which previously leaked
-    # the range-shuffle cache and skipped the offset-count invariant leg
-    # whenever verify_extraction=True
-    docids_cache = getattr(docs, "_docids_cache", None)
-    docids_expected = getattr(docs, "_docids_expected", None)
-    tok_udf, tf_udf, _, tfpos_udf = ANALYZERS[analyzer]
-
-    if "_ext" in docs.columns:
-        n_bad = docs.filter(F.col("_ext") != F.col("text")).count()
-        if n_bad:
-            raise ValueError(
-                f"extract_text(html) != text for {n_bad} rows — "
-                "byte-identity invariant violated"
-            )
-        docs = docs.drop("_ext")
-
-    # ---- docs table write (pass 1: ids + tokenize-for-doclen + write).
-    # No .persist(): the docs parquet IS the materialization — later stages
-    # re-read the compact columnar file instead of a token-array cache.
-    # _tbytes (text length) is persisted as a 4-byte column so the lineage
-    # aggregation below reads ONLY narrow columns — computing
-    # sum(length(text)) at lineage time would decompress the whole text
-    # column a second time (measured as a full extra scan of the corpus)
-    docs.select(
-        "doc_id", "url", "text", "lang", "doclen", "_pid",
-        F.length("text").alias("_tbytes"),
-    ).write.mode("overwrite").parquet(f"{out_dir}/docs")
-    docs_wall = time.monotonic() - t_start
-    # ids are materialized in the parquet — release the range-shuffle cache
-    # that pinned the docID/offset correspondence (leak fix: a long-lived
-    # session building many segments would otherwise accumulate these)
-    if docids_cache is not None:
-        docids_cache.unpersist()
-    docs_r = spark.read.parquet(f"{out_dir}/docs")
-
-    # ---- docs-stage lineage from the written table (text pruned to a
-    # length agg; stats derive driver-side — no separate stats pass) -----
+    docs_r: DataFrame,
+    base_doc_id: int,
+    docids_expected: int | None,
+    docs_wall: float,
+) -> tuple[DataFrame, int, int, float]:
+    """Docs-stage lineage from the written table (text pruned to a length
+    agg; stats derive driver-side — no separate stats pass), plus the
+    docID density invariant. Returns (lineage_df, n_docs, total_tokens,
+    avgdl)."""
     lineage_rows = (
         docs_r.groupBy(F.col("_pid").alias("partition_id"))
         .agg(
@@ -517,6 +492,377 @@ def build_index(
         ],
         "stage string, partition_id int, doc_lo long, doc_hi long, "
         "n_docs long, token_count long, bytes long, wall_ms double",
+    )
+    return docs_lineage, n_docs_total, total_tokens, avgdl
+
+
+def _quarantine_pages(
+    spark: SparkSession, pages: DataFrame, out_dir: str
+) -> tuple[DataFrame, int]:
+    """Dead-letter quarantine (reference: per-row try/catch →
+    LogErrorId file, common.ts:304-326; here an errors table). Rows that
+    cannot become documents (failed/empty extraction, null url) are
+    routed to {out_dir}/errors instead of killing the build. Returns the
+    clean pages (with ``text`` materialized when extraction ran) and the
+    quarantined count."""
+    if "text" not in pages.columns:
+        ext = pages.withColumn("_sx", extract_text_safe(F.col("html")))
+        bad = F.col("_sx.error").isNotNull() | F.col("url").isNull()
+        quarantine = ext.filter(bad).select(
+            "url",
+            F.coalesce(F.col("_sx.error"), F.lit("null-url")).alias("reason"),
+        )
+        pages = (
+            ext.filter(~bad)
+            .withColumn("text", F.col("_sx.text"))
+            .drop("_sx")
+        )
+    else:
+        quarantine = pages.filter(F.col("url").isNull()).select(
+            "url", F.lit("null-url").alias("reason")
+        )
+        pages = pages.filter(F.col("url").isNotNull())
+    quarantine.withColumn("stage", F.lit("docprep")).write.mode(
+        "overwrite"
+    ).parquet(f"{out_dir}/errors")
+    return pages, spark.read.parquet(f"{out_dir}/errors").count()
+
+
+def build_docs_dual(
+    pages: DataFrame,
+    num_partitions: int | None = None,
+    base_doc_id: int = 0,
+    verify_extraction: bool = False,
+) -> DataFrame:
+    """``build_docs`` twin for the dual-analyzer build: docs carry BOTH
+    ``doclen`` (default analyzer) and ``doclen_stop`` (stopword
+    analyzer), computed by ONE tokenize pass (textprep.doclens_dual)
+    BEFORE the range shuffle — the materialization persisted inside
+    assign_doc_ids therefore caches both values, so the two per-segment
+    docs writes share one extraction and one tokenize."""
+    cols = set(pages.columns)
+    if "text" not in cols:
+        pages = pages.withColumn("text", extract_text(F.col("html")))
+    elif verify_extraction and "html" in cols:
+        pages = pages.withColumn("_ext", extract_text(F.col("html")))
+    pages = pages.select(
+        *[c for c in ("url", "text", "lang", "_ext") if c in pages.columns]
+    )
+    dd = doclens_dual(F.col("text"))
+    pages = pages.select(
+        "*",
+        F.element_at(dd, 1).alias("doclen"),
+        F.element_at(dd, 2).alias("doclen_stop"),
+    )
+    docs = assign_doc_ids(
+        pages, order_col="url", num_partitions=num_partitions,
+        base_doc_id=base_doc_id,
+    )
+    docids_cache = getattr(docs, "_docids_cache", None)
+    docids_expected = getattr(docs, "_docids_expected", None)
+    keep = [
+        "doc_id", "url", "text", "lang", "doclen", "doclen_stop",
+        "_pid", "_wall_ms",
+    ]
+    if "_ext" in docs.columns:
+        keep.append("_ext")
+    out = docs.select(*[c for c in keep if c in docs.columns])
+    out._docids_cache = docids_cache
+    out._docids_expected = docids_expected
+    return out
+
+
+def build_index_dual(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_dir: str,
+    out_dir_stop: str,
+    num_buckets: int = 16,
+    block_size: int = BLOCK_SIZE,
+    salt_df_threshold: int = 100_000,
+    salt_range: int = 1 << 16,
+    num_partitions: int | None = None,
+    base_doc_id: int = 0,
+    verify_extraction: bool = False,
+    store_positions: bool = False,
+) -> tuple[dict, dict]:
+    """Single-pass dual-analyzer build (SURVEY §4.1 row 6): the reference
+    posts every document batch to BOTH the ``IndexName`` and
+    ``IndexNameStopword`` Solr collections (solrIndexCreation.ts:877-880);
+    here one job writes the default-analyzer segment to ``out_dir`` and
+    the stopword-analyzer segment to ``out_dir_stop``.
+
+    One pages scan, one extraction, one doclen tokenize, one tf tokenize,
+    and ONE term-hash exchange serve both segments. This works because
+    the stopword analyzer's stream is exactly the default stream minus
+    STOPWORDS terms (position gaps preserved — textprep.py), so:
+
+    - ``doclen_stop`` rides the posting stream as one extra int column
+      (doclen − Σ tf of stop terms, a Catalyst array aggregate over the
+      tokenizer's tf array — no second tokenize);
+    - the Arrow block builder emits variant-1 blocks per chunk by
+      filtering stop terms (is_in kernel) and swapping in
+      (doclen_stop, avgdl_stop) for the norms;
+    - blocks are written ONCE, partitioned by (variant, bucket), and the
+      variant layer is renamed into each segment's standard ``postings/``
+      layout (one directory rename per variant on a local/HDFS-like
+      filesystem; an object-store deployment would use a manifest pointer
+      or server-side copy instead).
+
+    Each output segment is fully standard — same layout + manifest as a
+    ``build_index(analyzer=...)`` twin, interchangeable for query/merge
+    (tests/test_dualbuild.py pins dictionary/stats/topk equality against
+    independently built twins). The docs TEXT is still written twice:
+    each segment is self-contained, matching the reference's choice of
+    storing every document in both collections.
+    """
+    t_start = time.monotonic()
+    os.makedirs(out_dir, exist_ok=True)
+    os.makedirs(out_dir_stop, exist_ok=True)
+    pages, n_quarantined = _quarantine_pages(spark, pages, out_dir)
+    # mirror the (tiny) errors table so both segments are self-contained
+    shutil.copytree(
+        f"{out_dir}/errors", f"{out_dir_stop}/errors", dirs_exist_ok=True
+    )
+
+    docs = build_docs_dual(
+        pages, num_partitions=num_partitions, base_doc_id=base_doc_id,
+        verify_extraction=verify_extraction,
+    )
+    docids_cache = getattr(docs, "_docids_cache", None)
+    docids_expected = getattr(docs, "_docids_expected", None)
+
+    if "_ext" in docs.columns:
+        n_bad = docs.filter(F.col("_ext") != F.col("text")).count()
+        if n_bad:
+            raise ValueError(
+                f"extract_text(html) != text for {n_bad} rows — "
+                "byte-identity invariant violated"
+            )
+        docs = docs.drop("_ext")
+
+    lang_cols = ["lang"] if "lang" in docs.columns else []
+    base = docs.select(
+        "doc_id", "url", "text", *lang_cols, "doclen", "doclen_stop",
+        "_pid", F.length("text").alias("_tbytes"),
+    )
+    base.select(
+        "doc_id", "url", "text", *lang_cols, "doclen", "_pid", "_tbytes"
+    ).write.mode("overwrite").parquet(f"{out_dir}/docs")
+    # second write reuses the assign_doc_ids persist (extraction +
+    # doclens cached); only the projection differs
+    base.select(
+        "doc_id", "url", "text", *lang_cols,
+        F.col("doclen_stop").alias("doclen"), "_pid", "_tbytes",
+    ).write.mode("overwrite").parquet(f"{out_dir_stop}/docs")
+    docs_wall = time.monotonic() - t_start
+    if docids_cache is not None:
+        docids_cache.unpersist()
+    docs_r = spark.read.parquet(f"{out_dir}/docs")
+    docs_r_stop = spark.read.parquet(f"{out_dir_stop}/docs")
+
+    lin_a, n_docs_total, total_tokens, avgdl = _docs_lineage(
+        spark, docs_r, base_doc_id, docids_expected, docs_wall
+    )
+    lin_b, _, total_tokens_stop, avgdl_stop = _docs_lineage(
+        spark, docs_r_stop, base_doc_id, docids_expected, docs_wall
+    )
+
+    tok_udf, tf_udf, _, tfpos_udf = ANALYZERS["default"]
+
+    # ---- shared head-term detection (same sampling as build_index; the
+    # stop terms it finds simply have no variant-1 postings) -------------
+    if salt_df_threshold >= n_docs_total:
+        head_terms = []
+    else:
+        frac = min(1.0, max(0.02, 2_000_000.0 / max(total_tokens, 1)))
+        scaled = salt_df_threshold * frac * 0.5
+        head_terms = [
+            r["term"]
+            for r in docs_r.sample(fraction=frac, seed=7)
+            .select(F.explode(tok_udf(F.col("text"))).alias("term"))
+            .groupBy("term")
+            .agg(F.count("*").alias("cf"))
+            .filter(F.col("cf") > scaled)
+            .collect()
+        ]
+
+    # ---- ONE tf stream for both variants: doclen_stop is derived from
+    # the tf array itself (doclen − Σ stop tf) — a Catalyst aggregate,
+    # no second tokenize — and rides the exchange as one extra int ------
+    stop_lit = F.array(*[F.lit(s) for s in sorted(STOPWORDS)])
+    u = tfpos_udf if store_positions else tf_udf
+    step = docs_r.select(
+        "doc_id",
+        F.col("doclen").cast("int").alias("doclen"),
+        u(F.col("text")).alias("_earr"),
+    )
+    stop_tf = F.aggregate(
+        F.filter(
+            F.col("_earr"),
+            lambda e: F.array_contains(stop_lit, e["term"]),
+        ),
+        F.lit(0),
+        lambda acc, e: acc + e["tf"],
+    )
+    mid = step.select(
+        "doc_id", "doclen",
+        (F.col("doclen") - stop_tf).cast("int").alias("doclen_stop"),
+        F.explode("_earr").alias("e"),
+    )
+    out_cols = [
+        "doc_id", "doclen", "doclen_stop",
+        F.col("e.term").alias("term"), F.col("e.tf").alias("tf"),
+    ]
+    if store_positions:
+        out_cols.append(F.col("e.positions").alias("positions"))
+    exploded = mid.select(*out_cols)
+
+    salt_expr = (F.col("doc_id") / F.lit(salt_range)).cast("int")
+    carry_salt = bool(head_terms) and len(head_terms) > 4096
+    if not head_terms:
+        part_cols = [F.col("term")]
+    elif not carry_salt:
+        part_cols = [
+            F.col("term"),
+            F.when(F.col("term").isin(head_terms), salt_expr).otherwise(
+                F.lit(0)
+            ),
+        ]
+    else:
+        head_df = spark.createDataFrame(
+            [(t,) for t in head_terms], "term string"
+        ).withColumn("_is_head", F.lit(True))
+        exploded = (
+            exploded.join(F.broadcast(head_df), "term", "left")
+            .withColumn(
+                "salt",
+                F.when(F.col("_is_head"), salt_expr).otherwise(F.lit(0)),
+            )
+            .drop("_is_head")
+        )
+        part_cols = [F.col("term"), F.col("salt")]
+
+    builder = _make_block_builder(
+        avgdl, num_buckets, block_size,
+        head_terms=None if carry_salt else head_terms,
+        salt_range=salt_range,
+        dual=(avgdl_stop, STOPWORDS),
+    )
+    sort_cols = (
+        ["term", "salt", "doc_id"] if carry_salt else ["term", "doc_id"]
+    )
+    blocks = (
+        exploded.repartition(*part_cols)
+        .sortWithinPartitions(*sort_cols)
+        .mapInArrow(builder, POSTINGS_SCHEMA_DUAL)
+    )
+    tmp_post = f"{out_dir}/_dual_postings.tmp"
+    blocks.write.mode("overwrite").partitionBy("variant", "bucket").parquet(
+        tmp_post
+    )
+    for vdir, dest in (
+        (f"{tmp_post}/variant=0", f"{out_dir}/postings"),
+        (f"{tmp_post}/variant=1", f"{out_dir_stop}/postings"),
+    ):
+        if os.path.exists(dest):
+            shutil.rmtree(dest)
+        if os.path.isdir(vdir):
+            os.replace(vdir, dest)
+        else:
+            # degenerate corpus (e.g. all-stopword): standard empty table
+            spark.createDataFrame([], POSTINGS_SCHEMA).write.mode(
+                "overwrite"
+            ).parquet(dest)
+    shutil.rmtree(tmp_post, ignore_errors=True)
+
+    common = dict(
+        base_doc_id=base_doc_id, num_buckets=num_buckets,
+        block_size=block_size, salt_df_threshold=salt_df_threshold,
+        salt_range=salt_range, n_head_terms=len(head_terms),
+        n_quarantined=n_quarantined, store_positions=store_positions,
+        t_start=t_start, docs_wall=docs_wall, n_docs_total=n_docs_total,
+    )
+    man_a = _finalize_segment(
+        spark, out_dir, docs_lineage=lin_a, avgdl=avgdl,
+        total_tokens=total_tokens, analyzer="default", **common,
+    )
+    man_b = _finalize_segment(
+        spark, out_dir_stop, docs_lineage=lin_b, avgdl=avgdl_stop,
+        total_tokens=total_tokens_stop, analyzer="stopword", **common,
+    )
+    return man_a, man_b
+
+
+def build_index(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_dir: str,
+    num_buckets: int = 16,
+    block_size: int = BLOCK_SIZE,
+    salt_df_threshold: int = 100_000,
+    salt_range: int = 1 << 16,
+    num_partitions: int | None = None,
+    base_doc_id: int = 0,
+    verify_extraction: bool = False,
+    analyzer: str = "default",
+    store_positions: bool = False,
+) -> dict:
+    """Build one index segment under ``out_dir``. Returns manifest dict.
+
+    Layout: docs/ postings/ (partitioned by bucket) dictionary/ stats/
+    lineage/ _manifest.json. Commit is atomic at the manifest write: readers
+    (query side, merge) treat a segment without _manifest.json as absent.
+    """
+    t_start = time.monotonic()
+    os.makedirs(out_dir, exist_ok=True)
+
+    pages, n_quarantined = _quarantine_pages(spark, pages, out_dir)
+
+    docs = build_docs(
+        pages, num_partitions=num_partitions, base_doc_id=base_doc_id,
+        verify_extraction=verify_extraction, analyzer=analyzer,
+    )
+    # capture the build_docs side-band state NOW: any transformation below
+    # (e.g. the verify-path .drop("_ext")) returns a fresh DataFrame that
+    # silently discards monkey-patched attributes, which previously leaked
+    # the range-shuffle cache and skipped the offset-count invariant leg
+    # whenever verify_extraction=True
+    docids_cache = getattr(docs, "_docids_cache", None)
+    docids_expected = getattr(docs, "_docids_expected", None)
+    tok_udf, tf_udf, _, tfpos_udf = ANALYZERS[analyzer]
+
+    if "_ext" in docs.columns:
+        n_bad = docs.filter(F.col("_ext") != F.col("text")).count()
+        if n_bad:
+            raise ValueError(
+                f"extract_text(html) != text for {n_bad} rows — "
+                "byte-identity invariant violated"
+            )
+        docs = docs.drop("_ext")
+
+    # ---- docs table write (pass 1: ids + tokenize-for-doclen + write).
+    # No .persist(): the docs parquet IS the materialization — later stages
+    # re-read the compact columnar file instead of a token-array cache.
+    # _tbytes (text length) is persisted as a 4-byte column so the lineage
+    # aggregation below reads ONLY narrow columns — computing
+    # sum(length(text)) at lineage time would decompress the whole text
+    # column a second time (measured as a full extra scan of the corpus)
+    docs.select(
+        "doc_id", "url", "text",
+        *(["lang"] if "lang" in docs.columns else []), "doclen", "_pid",
+        F.length("text").alias("_tbytes"),
+    ).write.mode("overwrite").parquet(f"{out_dir}/docs")
+    docs_wall = time.monotonic() - t_start
+    # ids are materialized in the parquet — release the range-shuffle cache
+    # that pinned the docID/offset correspondence (leak fix: a long-lived
+    # session building many segments would otherwise accumulate these)
+    if docids_cache is not None:
+        docids_cache.unpersist()
+    docs_r = spark.read.parquet(f"{out_dir}/docs")
+
+    docs_lineage, n_docs_total, total_tokens, avgdl = _docs_lineage(
+        spark, docs_r, base_doc_id, docids_expected, docs_wall
     )
 
     # ---- tf stream: re-tokenize from the written docs table with
@@ -640,6 +986,40 @@ def build_index(
     blocks.write.mode("overwrite").partitionBy("bucket").parquet(
         f"{out_dir}/postings"
     )
+    return _finalize_segment(
+        spark, out_dir, docs_lineage=docs_lineage,
+        n_docs_total=n_docs_total, avgdl=avgdl, total_tokens=total_tokens,
+        base_doc_id=base_doc_id, analyzer=analyzer, num_buckets=num_buckets,
+        block_size=block_size, salt_df_threshold=salt_df_threshold,
+        salt_range=salt_range, n_head_terms=len(head_terms),
+        n_quarantined=n_quarantined, store_positions=store_positions,
+        t_start=t_start, docs_wall=docs_wall,
+    )
+
+
+def _finalize_segment(
+    spark: SparkSession,
+    out_dir: str,
+    *,
+    docs_lineage: DataFrame,
+    n_docs_total: int,
+    avgdl: float,
+    total_tokens: int,
+    base_doc_id: int,
+    analyzer: str,
+    num_buckets: int,
+    block_size: int,
+    salt_df_threshold: int,
+    salt_range: int,
+    n_head_terms: int,
+    n_quarantined: int,
+    store_positions: bool,
+    t_start: float,
+    docs_wall: float,
+) -> dict:
+    """Dictionary + lineage + stats + atomic manifest from a segment's
+    written postings. Shared by the single-analyzer build and each side
+    of the dual build."""
     blocks_r = spark.read.parquet(f"{out_dir}/postings")
 
     # ---- dictionary + postings lineage ---------------------------------
@@ -693,7 +1073,7 @@ def build_index(
         "avgdl": avgdl,
         "salt_df_threshold": salt_df_threshold,
         "salt_range": salt_range,
-        "head_terms_salted": len(head_terms),
+        "head_terms_salted": n_head_terms,
         "quarantined": int(n_quarantined),
         "positions": bool(store_positions),
         "build_wall_s": round(time.monotonic() - t_start, 3),

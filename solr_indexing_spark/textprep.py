@@ -223,6 +223,21 @@ def tokenize_stop(text: pd.Series) -> pd.Series:
     )
 
 
+@F.pandas_udf(T.ArrayType(T.IntegerType()))
+def doclens_dual(text: pd.Series) -> pd.Series:
+    """[doclen_default, doclen_stopword] from ONE tokenize pass — the
+    dual-analyzer build's docs stage (build.py:build_docs_dual) computes
+    both segments' norms without tokenizing the corpus twice. The
+    stopword doclen is the default token count minus stop hits because
+    the stopword analyzer is the default stream filtered by STOPWORDS."""
+    sw = STOPWORDS
+    out = []
+    for toks in text.fillna("").str.lower().str.findall(TOKEN_RE):
+        n = len(toks)
+        out.append([n, n - sum(1 for t in toks if t in sw)])
+    return pd.Series(out)
+
+
 @F.pandas_udf(_TF_STRUCT)
 def tokenize_tf_stop(text: pd.Series) -> pd.Series:
     """Stopword-analyzer twin of ``tokenize_tf`` (doclen/tf exclude stops)."""
