@@ -89,6 +89,23 @@ def main() -> None:
     )
     synth_docs_per_sec = round(synth_n / timings["q_index_build_synth"], 1)
 
+    # --- single-pass dual-analyzer build (IndexName + IndexNameStopword,
+    # solrIndexCreation.ts:877-880): one scan/tokenize/exchange, two
+    # segments. The ratio against the single build shows the saving vs
+    # running two independent builds (2.0 = no saving).
+    from solr_indexing_spark.indexing.build import build_index_dual
+
+    timed(
+        "q_index_build_dual",
+        lambda: build_index_dual(
+            spark, synth_pages, f"{work}/idx_dual_a", f"{work}/idx_dual_b",
+            num_buckets=16,
+        ),
+    )
+    dual_vs_single = round(
+        timings["q_index_build_dual"] / timings["q_index_build_synth"], 3
+    )
+
     # --- BM25 query latency (warm p50 over the fixed query set) ----------
     queries = list(entry.FT_QUERIES.values()) + [
         "merge sort shuffle",
@@ -173,6 +190,21 @@ def main() -> None:
         lambda: entry._dp_finder_assembly(spark, sf_dir).count(),
     )
 
+    # --- full 13-pipeline batch (the reference's multi-doctype run:
+    # every *Index method in one job). Driver-side plan construction is
+    # amortized by the analyzed-plan cache (plancache.py) — this is the
+    # number that was 13 × ~25 s before round 3.
+    qs = entry.queries()
+    batch_names = [
+        k for k in qs if k.startswith("dp_") and k.endswith("_assembly")
+    ]
+
+    def _batch13():
+        for name in batch_names:
+            qs[name](spark, sf_dir).count()
+
+    timed("q_pipeline_batch13", _batch13)
+
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -189,6 +221,8 @@ def main() -> None:
                 "synth_corpus_n": synth_n,
                 "docs_per_sec_synth": synth_docs_per_sec,
                 "bm25_p50_ms": p50_ms,
+                "dual_build_vs_single_ratio": dual_vs_single,
+                "pipeline_batch_n": len(batch_names),
             }
         )
     )

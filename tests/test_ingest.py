@@ -1,0 +1,119 @@
+"""End-to-end ingest (ingest.py): packed rows in → BM25 hits +
+completions out, one job — the reference's ETL + BulkIndexing + suggester
+push in a single pass (solrIndexCreation.ts per-doctype methods).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from solr_indexing_spark.docprep.pipelines import (
+    CASE_LAWS_INPUT_COLUMNS,
+    ensure_columns,
+)
+from solr_indexing_spark.ingest import PIPELINES, run_ingest, suggest_entries
+from solr_indexing_spark.query.bmw import topk
+from solr_indexing_spark.query.completion import complete_dir
+
+
+def _packed(spark, n=40):
+    df = spark.range(n).select(
+        F.concat(F.lit("M"), F.col("id").cast("string")).alias("id"),
+        F.concat(F.lit("S"), F.col("id").cast("string")).alias("mid"),
+        F.lit("Case Laws").alias("documenttype"),
+        F.concat(
+            F.lit("<document><p>Unique token zq"),
+            F.col("id").cast("string"),
+            F.lit(" appears here</p></document>"),
+        ).alias("fullcontent"),
+        F.lit("20200101^01-01-2020").alias("documentdate"),
+        F.concat(F.lit("Case "), F.col("id").cast("string")).alias("Heading"),
+        # weight-16 suggest inputs (ts:2734-2751): "$"-separated "A|B"
+        F.concat(
+            F.lit("Topic "), F.col("id").cast("string"),
+            F.lit("|Case "), F.col("id").cast("string"),
+        ).alias("HeadingSubheading"),
+        F.lit("Supreme Court").alias("court"),
+    )
+    return ensure_columns(df, CASE_LAWS_INPUT_COLUMNS)
+
+
+@pytest.fixture(scope="module")
+def ingested(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("ingest") / "job")
+    job = run_ingest(
+        spark, _packed(spark), "case_laws", out, dual=True, templateid="T"
+    )
+    return out, job
+
+
+def test_job_shape_and_lineage(spark, ingested):
+    """Packed rows in → committed segments + job manifest; the lineage
+    table carries both build stages (the ix-style check)."""
+    out, job = ingested
+    assert job["n_docs"] == 40 and job["quarantined"] == 0
+    assert set(job["manifests"]) == {"index", "index_stopword"}
+    assert job["manifests"]["index"]["analyzer"] == "default"
+    assert job["manifests"]["index_stopword"]["analyzer"] == "stopword"
+    with open(f"{out}/_job_manifest.json") as fh:
+        assert json.load(fh)["n_docs"] == 40
+    stages = {
+        r["stage"]
+        for r in spark.read.parquet(f"{out}/index/lineage")
+        .select("stage").distinct().collect()
+    }
+    assert stages == {"docs", "postings"}
+
+
+def test_bm25_hits_out(spark, ingested):
+    """A distinctive body token retrieves exactly its document through the
+    real query path, on both analyzer variants."""
+    out, _ = ingested
+    for seg in ("index", "index_stopword"):
+        rows = topk(spark, f"{out}/{seg}", "zq7 token", k=5).collect()
+        assert rows
+        urls = {
+            r["doc_id"]: r["url"]
+            for r in spark.read.parquet(f"{out}/{seg}/docs")
+            .select("doc_id", "url").collect()
+        }
+        # composed id = packed mid (reference: indexDocument.id = dr["mid"])
+        assert urls[rows[0]["doc_id"]] == "S7"
+
+
+def test_completions_out(spark, ingested):
+    """Suggest[] entries became a queryable completion table (the
+    HeadingSubheading inputs arrive already lowercased by the grammar)."""
+    out, job = ingested
+    assert job["completion_entries"] > 0
+    got = complete_dir(spark, f"{out}/completion", "case 1", k=20).collect()
+    assert "case 1" in [r["input"] for r in got]
+    assert all(r["weight"] == 16 for r in got)
+
+
+def test_registry_covers_all_13_pipelines():
+    assert len(PIPELINES) == 13
+
+
+def test_suggest_entries_absent_is_none(spark):
+    df = spark.range(3).select(F.col("id").cast("string").alias("id"))
+    assert suggest_entries(df) is None
+
+
+def test_single_segment_mode(spark, tmp_path):
+    out = str(tmp_path / "single")
+    job = run_ingest(spark, _packed(spark, 10), "case_laws", out)
+    assert list(job["manifests"]) == ["index"]
+    assert not os.path.exists(f"{out}/index_stopword")
+    rows = topk(spark, f"{out}/index", "zq3", k=3).collect()
+    assert rows
+    urls = {
+        r["doc_id"]: r["url"]
+        for r in spark.read.parquet(f"{out}/index/docs")
+        .select("doc_id", "url").collect()
+    }
+    assert urls[rows[0]["doc_id"]] == "S3"
