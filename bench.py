@@ -91,10 +91,19 @@ def main() -> None:
 
     # --- single-pass dual-analyzer build (IndexName + IndexNameStopword,
     # solrIndexCreation.ts:877-880): one scan/tokenize/exchange, two
-    # segments. The ratio against the single build shows the saving vs
-    # running two independent builds (2.0 = no saving).
+    # segments. Compared against the alternative the reference implies —
+    # building each analyzer's segment separately (ratio < 1.0 = the
+    # shared pass wins; the synth corpus has NO stopwords, so this is the
+    # worst case: the stopword variant duplicates every posting).
     from solr_indexing_spark.indexing.build import build_index_dual
 
+    timed(
+        "q_index_build_stop",
+        lambda: build_index(
+            spark, synth_pages, f"{work}/idx_stop", num_buckets=16,
+            analyzer="stopword",
+        ),
+    )
     timed(
         "q_index_build_dual",
         lambda: build_index_dual(
@@ -102,8 +111,10 @@ def main() -> None:
             num_buckets=16,
         ),
     )
-    dual_vs_single = round(
-        timings["q_index_build_dual"] / timings["q_index_build_synth"], 3
+    dual_vs_two_builds = round(
+        timings["q_index_build_dual"]
+        / (timings["q_index_build_synth"] + timings["q_index_build_stop"]),
+        3,
     )
 
     # --- BM25 query latency (warm p50 over the fixed query set) ----------
@@ -221,7 +232,7 @@ def main() -> None:
                 "synth_corpus_n": synth_n,
                 "docs_per_sec_synth": synth_docs_per_sec,
                 "bm25_p50_ms": p50_ms,
-                "dual_build_vs_single_ratio": dual_vs_single,
+                "dual_build_vs_two_builds_ratio": dual_vs_two_builds,
                 "pipeline_batch_n": len(batch_names),
             }
         )

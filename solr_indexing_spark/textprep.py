@@ -223,6 +223,69 @@ def tokenize_stop(text: pd.Series) -> pd.Series:
     )
 
 
+_TF_DUAL_STRUCT = T.StructType(
+    [
+        T.StructField("entries", _TF_STRUCT, False),
+        T.StructField("dl_stop", T.IntegerType(), False),
+    ]
+)
+
+
+@F.pandas_udf(_TF_DUAL_STRUCT)
+def tokenize_tf_dual(text: pd.Series) -> pd.DataFrame:
+    """``tokenize_tf`` plus the stopword-analyzer doclen, one tokenize.
+
+    The dual build's posting stream needs doclen_stop on every exploded
+    row; deriving it in Catalyst (aggregate over filter of the tf array)
+    measured ~13 s of interpreted higher-order-function time per 20k-doc
+    build — the Counter is already in hand here, so the subtraction is
+    free."""
+    from collections import Counter
+
+    sw = STOPWORDS
+    ents, dls = [], []
+    for toks in text.fillna("").str.lower().str.findall(TOKEN_RE):
+        c = Counter(toks)
+        ents.append(list(c.items()) if toks else [])
+        # intersect the 33-key stop set with the DISTINCT terms: O(33)
+        # hash lookups per doc, not one membership test per token
+        dls.append(len(toks) - sum(c[t] for t in sw & c.keys()))
+    return pd.DataFrame({"entries": ents, "dl_stop": dls})
+
+
+_TFPOS_DUAL_STRUCT_FIELDS = [
+    T.StructField("term", T.StringType(), False),
+    T.StructField("tf", T.IntegerType(), False),
+    T.StructField("positions", T.ArrayType(T.IntegerType()), False),
+]
+_TFPOS_DUAL_STRUCT = T.StructType(
+    [
+        T.StructField(
+            "entries",
+            T.ArrayType(T.StructType(_TFPOS_DUAL_STRUCT_FIELDS)),
+            False,
+        ),
+        T.StructField("dl_stop", T.IntegerType(), False),
+    ]
+)
+
+
+@F.pandas_udf(_TFPOS_DUAL_STRUCT)
+def tokenize_tf_pos_dual(text: pd.Series) -> pd.DataFrame:
+    """Positional twin of ``tokenize_tf_dual`` (default-analyzer
+    positions; the stopword variant's position gaps survive downstream
+    filtering by term)."""
+    sw = STOPWORDS
+    ents, dls = [], []
+    for toks in text.fillna("").str.lower().str.findall(TOKEN_RE):
+        e = _tf_pos_of(toks) if toks else []
+        ents.append(e)
+        dls.append(
+            len(toks) - sum(tf for t, tf, _ in e if t in sw)
+        )
+    return pd.DataFrame({"entries": ents, "dl_stop": dls})
+
+
 @F.pandas_udf(T.ArrayType(T.IntegerType()))
 def doclens_dual(text: pd.Series) -> pd.Series:
     """[doclen_default, doclen_stopword] from ONE tokenize pass — the
@@ -230,11 +293,18 @@ def doclens_dual(text: pd.Series) -> pd.Series:
     both segments' norms without tokenizing the corpus twice. The
     stopword doclen is the default token count minus stop hits because
     the stopword analyzer is the default stream filtered by STOPWORDS."""
+    from collections import Counter
+
     sw = STOPWORDS
     out = []
     for toks in text.fillna("").str.lower().str.findall(TOKEN_RE):
         n = len(toks)
-        out.append([n, n - sum(1 for t in toks if t in sw)])
+        if n:
+            c = Counter(toks)
+            n_stop = sum(c[t] for t in sw & c.keys())
+        else:
+            n_stop = 0
+        out.append([n, n - n_stop])
     return pd.Series(out)
 
 
