@@ -54,9 +54,14 @@ from .docids import assign_doc_ids
 
 # Segment on-disk format version. v2 = POSTINGS_SCHEMA carries required
 # positions/pos_counts columns (empty binaries when built without
-# store_positions). Readers validate via read_manifest so a stale segment
-# fails with a version message, not an opaque missing-column error.
-FORMAT_VERSION = 2
+# store_positions). v3 adds payload_bytes (len(doc_gaps)+len(tfs)+
+# len(doclens), computed at block-build time) so lineage/size accounting
+# reads one int column instead of decompressing every postings binary a
+# second time — event-log profiling showed that re-read as a full extra
+# scan of the postings table inside _finalize_segment. Readers validate
+# via read_manifest so a stale segment fails with a version message, not
+# an opaque missing-column error.
+FORMAT_VERSION = 3
 
 POSTINGS_SCHEMA = T.StructType(
     [
@@ -79,6 +84,9 @@ POSTINGS_SCHEMA = T.StructType(
         # Empty bytes when the segment is built without positions.
         T.StructField("positions", T.BinaryType(), False),
         T.StructField("pos_counts", T.BinaryType(), False),
+        # v3: encoded payload size (gaps+tfs+doclens), so lineage byte
+        # accounting never re-reads the binary columns
+        T.StructField("payload_bytes", T.LongType(), False),
     ]
 )
 
@@ -301,6 +309,12 @@ def _make_block_builder(
         # by contiguous doc range — shard k covers ids < shard k+1.
         block_ids = (salts[gstarts][g_of_block] << 20) + block_in_g
 
+        payload = np.fromiter(
+            (len(g) + len(t) + len(d)
+             for g, t, d in zip(gaps_enc, tfs_enc, dls_enc)),
+            dtype=np.int64,
+            count=n_blocks,
+        )
         # amortize the partition's wall over its blocks (lineage metric)
         us = (time.monotonic_ns() - t0) // 1000 // max(n_blocks, 1)
         arrays = [
@@ -318,6 +332,7 @@ def _make_block_builder(
             pa.array(np.full(n_blocks, us, dtype=np.int64)),
             pa.array(pos_enc, type=pa.binary()),
             pa.array(cnt_enc, type=pa.binary()),
+            pa.array(payload),
         ]
         if variant is not None:
             arrays.append(pa.array(np.full(n_blocks, variant, dtype=np.int32)))
@@ -506,25 +521,41 @@ def _docs_lineage(
 
 def _quarantine_pages(
     spark: SparkSession, pages: DataFrame, out_dir: str
-) -> tuple[DataFrame, int]:
+) -> tuple[DataFrame, int, DataFrame | None]:
     """Dead-letter quarantine (reference: per-row try/catch →
     LogErrorId file, common.ts:304-326; here an errors table). Rows that
     cannot become documents (failed/empty extraction, null url) are
     routed to {out_dir}/errors instead of killing the build. Returns the
-    clean pages (with ``text`` materialized when extraction ran) and the
-    quarantined count."""
+    clean pages (with ``text`` materialized when extraction ran), the
+    quarantined count, and the extraction cache to unpersist once the
+    docs table is written (None when no extraction ran).
+
+    The html-only path persists the extracted text ONCE (html dropped
+    first — only url/lang/extracted text are cached) and serves both the
+    quarantine write and the docID range shuffle from that cache.
+    Without it the quarantine action and the docids persist each re-ran
+    the full extraction — and on the ingest path, the composed docprep
+    pipeline upstream of it — doubling the most expensive map in the
+    build. MEMORY_AND_DISK: a partition under memory pressure spills
+    instead of being evicted (an evicted partition would silently
+    re-extract, paying the cost the cache exists to avoid)."""
+    cache = None
     if "text" not in pages.columns:
-        ext = pages.withColumn("_sx", extract_text_safe(F.col("html")))
+        from pyspark import StorageLevel
+
+        keep = [c for c in ("url", "lang") if c in pages.columns]
+        ext = pages.select(
+            *keep, extract_text_safe(F.col("html")).alias("_sx")
+        ).persist(StorageLevel.MEMORY_AND_DISK)
         bad = F.col("_sx.error").isNotNull() | F.col("url").isNull()
         quarantine = ext.filter(bad).select(
             "url",
             F.coalesce(F.col("_sx.error"), F.lit("null-url")).alias("reason"),
         )
-        pages = (
-            ext.filter(~bad)
-            .withColumn("text", F.col("_sx.text"))
-            .drop("_sx")
+        pages = ext.filter(~bad).select(
+            *keep, F.col("_sx.text").alias("text")
         )
+        cache = ext
     else:
         quarantine = pages.filter(F.col("url").isNull()).select(
             "url", F.lit("null-url").alias("reason")
@@ -533,7 +564,7 @@ def _quarantine_pages(
     quarantine.withColumn("stage", F.lit("docprep")).write.mode(
         "overwrite"
     ).parquet(f"{out_dir}/errors")
-    return pages, spark.read.parquet(f"{out_dir}/errors").count()
+    return pages, spark.read.parquet(f"{out_dir}/errors").count(), cache
 
 
 def build_docs_dual(
@@ -627,7 +658,7 @@ def build_index_dual(
     t_start = time.monotonic()
     os.makedirs(out_dir, exist_ok=True)
     os.makedirs(out_dir_stop, exist_ok=True)
-    pages, n_quarantined = _quarantine_pages(spark, pages, out_dir)
+    pages, n_quarantined, ext_cache = _quarantine_pages(spark, pages, out_dir)
     # mirror the (tiny) errors table so both segments are self-contained
     shutil.copytree(
         f"{out_dir}/errors", f"{out_dir_stop}/errors", dirs_exist_ok=True
@@ -682,6 +713,8 @@ def build_index_dual(
     docs_wall = time.monotonic() - t_start
     if docids_cache is not None:
         docids_cache.unpersist()
+    if ext_cache is not None:
+        ext_cache.unpersist()
     docs_r = spark.read.parquet(f"{out_dir}/docs")
     docs_r_stop = spark.read.parquet(f"{out_dir_stop}/docs")
 
@@ -853,7 +886,7 @@ def build_index(
     t_start = time.monotonic()
     os.makedirs(out_dir, exist_ok=True)
 
-    pages, n_quarantined = _quarantine_pages(spark, pages, out_dir)
+    pages, n_quarantined, ext_cache = _quarantine_pages(spark, pages, out_dir)
 
     docs = build_docs(
         pages, num_partitions=num_partitions, base_doc_id=base_doc_id,
@@ -892,9 +925,12 @@ def build_index(
     docs_wall = time.monotonic() - t_start
     # ids are materialized in the parquet — release the range-shuffle cache
     # that pinned the docID/offset correspondence (leak fix: a long-lived
-    # session building many segments would otherwise accumulate these)
+    # session building many segments would otherwise accumulate these),
+    # and the html-extraction cache it was fed from
     if docids_cache is not None:
         docids_cache.unpersist()
+    if ext_cache is not None:
+        ext_cache.unpersist()
     docs_r = spark.read.parquet(f"{out_dir}/docs")
 
     docs_lineage, n_docs_total, total_tokens, avgdl = _docs_lineage(
@@ -1055,45 +1091,63 @@ def _finalize_segment(
 ) -> dict:
     """Dictionary + lineage + stats + atomic manifest from a segment's
     written postings. Shared by the single-analyzer build and each side
-    of the dual build."""
+    of the dual build.
+
+    Both aggregations read ONLY narrow columns (v3: lineage bytes come
+    from the per-block ``payload_bytes`` int, not ``F.length`` over the
+    binary columns — the latter decompressed the whole postings payload a
+    second time, a full extra scan). The three writes are independent
+    jobs submitted from threads so their fixed job-launch costs overlap
+    instead of serializing — part of the per-build constant F that caps
+    strong-scaling efficiency (BENCH/BASELINE.md §2)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     blocks_r = spark.read.parquet(f"{out_dir}/postings")
 
-    # ---- dictionary + postings lineage ---------------------------------
-    dictionary = blocks_r.groupBy("term", "bucket").agg(
-        F.sum("n_docs").alias("df"),
-        F.sum("sum_tf").alias("cf"),
-        F.count("*").alias("n_blocks"),
-        F.max("block_max_tf_norm").alias("max_tf_norm"),
-    )
-    dictionary.write.mode("overwrite").parquet(f"{out_dir}/dictionary")
+    def _write_dictionary():
+        blocks_r.groupBy("term", "bucket").agg(
+            F.sum("n_docs").alias("df"),
+            F.sum("sum_tf").alias("cf"),
+            F.count("*").alias("n_blocks"),
+            F.max("block_max_tf_norm").alias("max_tf_norm"),
+        ).write.mode("overwrite").parquet(f"{out_dir}/dictionary")
 
-    post_lineage = blocks_r.groupBy(F.col("bucket").alias("partition_id")).agg(
-        F.min("first_doc_id").alias("doc_lo"),
-        F.max("last_doc_id").alias("doc_hi"),
-        F.sum("n_docs").alias("n_docs"),
-        F.sum("sum_tf").alias("token_count"),
-        F.sum(
-            F.length("doc_gaps") + F.length("tfs") + F.length("doclens")
-        ).alias("bytes"),
-        (F.sum("build_us") / 1000.0).alias("wall_ms"),
-    ).withColumn("stage", F.lit("postings"))
+    def _write_lineage():
+        post_lineage = blocks_r.groupBy(
+            F.col("bucket").alias("partition_id")
+        ).agg(
+            F.min("first_doc_id").alias("doc_lo"),
+            F.max("last_doc_id").alias("doc_hi"),
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("sum_tf").alias("token_count"),
+            F.sum("payload_bytes").alias("bytes"),
+            (F.sum("build_us") / 1000.0).alias("wall_ms"),
+        ).withColumn("stage", F.lit("postings"))
+        lineage_cols = ["stage", "partition_id", "doc_lo", "doc_hi",
+                        "n_docs", "token_count", "bytes", "wall_ms"]
+        docs_lineage.select(*lineage_cols).unionByName(
+            post_lineage.select(*lineage_cols)
+        ).write.mode("overwrite").parquet(f"{out_dir}/lineage")
 
-    lineage_cols = ["stage", "partition_id", "doc_lo", "doc_hi", "n_docs",
-                    "token_count", "bytes", "wall_ms"]
-    docs_lineage.select(*lineage_cols).unionByName(
-        post_lineage.select(*lineage_cols)
-    ).write.mode("overwrite").parquet(f"{out_dir}/lineage")
+    def _write_stats():
+        spark.createDataFrame(
+            [(int(n_docs_total), float(avgdl), int(total_tokens))],
+            T.StructType(
+                [
+                    T.StructField("n_docs", T.LongType(), False),
+                    T.StructField("avgdl", T.DoubleType(), False),
+                    T.StructField("total_tokens", T.LongType(), False),
+                ]
+            ),
+        ).write.mode("overwrite").parquet(f"{out_dir}/stats")
 
-    spark.createDataFrame(
-        [(int(n_docs_total), float(avgdl), int(total_tokens))],
-        T.StructType(
-            [
-                T.StructField("n_docs", T.LongType(), False),
-                T.StructField("avgdl", T.DoubleType(), False),
-                T.StructField("total_tokens", T.LongType(), False),
-            ]
-        ),
-    ).write.mode("overwrite").parquet(f"{out_dir}/stats")
+    with ThreadPoolExecutor(3) as pool:
+        for f in [
+            pool.submit(_write_dictionary),
+            pool.submit(_write_lineage),
+            pool.submit(_write_stats),
+        ]:
+            f.result()
 
 
     manifest = {
@@ -1130,6 +1184,7 @@ def read_manifest(index_dir: str) -> dict:
         raise ValueError(
             f"segment {index_dir} has format_version={ver}, this engine "
             f"reads format_version={FORMAT_VERSION} — rebuild the segment "
-            "(v2 added required positions/pos_counts postings columns)"
+            "(v2 added required positions/pos_counts postings columns; "
+            "v3 added the payload_bytes size column)"
         )
     return man

@@ -133,6 +133,9 @@ def _make_group_reblocker(
                 cnt_bytes = vbyte_encode(cnts.astype(np.uint64))
             else:
                 pos_bytes, cnt_bytes = b"", b""
+            gaps_bytes = vbyte_encode(np.diff(blk).astype(np.uint64))
+            tfs_bytes = vbyte_encode(tfs[lo:hi].astype(np.uint64))
+            dls_bytes = vbyte_encode(dls[lo:hi].astype(np.uint64))
             rows.append(
                 (
                     term,
@@ -141,14 +144,15 @@ def _make_group_reblocker(
                     int(blk[0]),
                     int(blk[-1]),
                     int(hi - lo),
-                    vbyte_encode(np.diff(blk).astype(np.uint64)),
-                    vbyte_encode(tfs[lo:hi].astype(np.uint64)),
-                    vbyte_encode(dls[lo:hi].astype(np.uint64)),
+                    gaps_bytes,
+                    tfs_bytes,
+                    dls_bytes,
                     float(norms[lo:hi].max()),
                     int(tfs[lo:hi].sum()),
                     (time.monotonic_ns() - t0) // 1000,
                     pos_bytes,
                     cnt_bytes,
+                    len(gaps_bytes) + len(tfs_bytes) + len(dls_bytes),
                 )
             )
         return rows
@@ -428,9 +432,8 @@ def merge_segments(
         F.max("last_doc_id").alias("doc_hi"),
         F.sum("n_docs").alias("n_docs"),
         F.sum("sum_tf").alias("token_count"),
-        F.sum(
-            F.length("doc_gaps") + F.length("tfs") + F.length("doclens")
-        ).alias("bytes"),
+        # v3: per-block payload_bytes int — no binary-column re-read
+        F.sum("payload_bytes").alias("bytes"),
         (F.sum("build_us") / 1000.0).alias("wall_ms"),
     ).withColumn("stage", F.lit("merge"))
     cols = ["stage", "partition_id", "doc_lo", "doc_hi", "n_docs",
