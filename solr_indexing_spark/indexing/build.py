@@ -520,7 +520,8 @@ def _docs_lineage(
 
 
 def _quarantine_pages(
-    spark: SparkSession, pages: DataFrame, out_dir: str
+    spark: SparkSession, pages: DataFrame, out_dir: str,
+    verify: bool = False,
 ) -> tuple[DataFrame, int, DataFrame | None]:
     """Dead-letter quarantine (reference: per-row try/catch →
     LogErrorId file, common.ts:304-326; here an errors table). Rows that
@@ -528,7 +529,7 @@ def _quarantine_pages(
     routed to {out_dir}/errors instead of killing the build. Returns the
     clean pages (with ``text`` materialized when extraction ran), the
     quarantined count, and the extraction cache to unpersist once the
-    docs table is written (None when no extraction ran).
+    docID range shuffle is materialized (None when no extraction ran).
 
     The html-only path persists the extracted text ONCE (html dropped
     first — only url/lang/extracted text are cached) and serves both the
@@ -538,23 +539,32 @@ def _quarantine_pages(
     pipeline upstream of it — doubling the most expensive map in the
     build. MEMORY_AND_DISK: a partition under memory pressure spills
     instead of being evicted (an evicted partition would silently
-    re-extract, paying the cost the cache exists to avoid)."""
+    re-extract, paying the cost the cache exists to avoid).
+
+    ``verify``: on the html-only path the byte-identity gate would
+    otherwise be unreachable (html is dropped here, so build_docs'
+    ``verify_extraction`` branch can never fire) — when set, the raw
+    extractor runs next to the dead-letter-safe one IN THE SAME scan and
+    its output rides the clean pages as ``_ext``, which build_docs
+    passes through for build_index's invariant check."""
     cache = None
     if "text" not in pages.columns:
         from pyspark import StorageLevel
 
         keep = [c for c in ("url", "lang") if c in pages.columns]
-        ext = pages.select(
-            *keep, extract_text_safe(F.col("html")).alias("_sx")
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+        sel = [*keep, extract_text_safe(F.col("html")).alias("_sx")]
+        if verify:
+            sel.append(extract_text(F.col("html")).alias("_ext"))
+        ext = pages.select(*sel).persist(StorageLevel.MEMORY_AND_DISK)
         bad = F.col("_sx.error").isNotNull() | F.col("url").isNull()
         quarantine = ext.filter(bad).select(
             "url",
             F.coalesce(F.col("_sx.error"), F.lit("null-url")).alias("reason"),
         )
-        pages = ext.filter(~bad).select(
-            *keep, F.col("_sx.text").alias("text")
-        )
+        out_cols = [*keep, F.col("_sx.text").alias("text")]
+        if verify:
+            out_cols.append(F.col("_ext"))
+        pages = ext.filter(~bad).select(*out_cols)
         cache = ext
     else:
         quarantine = pages.filter(F.col("url").isNull()).select(
@@ -658,209 +668,224 @@ def build_index_dual(
     t_start = time.monotonic()
     os.makedirs(out_dir, exist_ok=True)
     os.makedirs(out_dir_stop, exist_ok=True)
-    pages, n_quarantined, ext_cache = _quarantine_pages(spark, pages, out_dir)
-    # mirror the (tiny) errors table so both segments are self-contained
-    shutil.copytree(
-        f"{out_dir}/errors", f"{out_dir_stop}/errors", dirs_exist_ok=True
+    pages, n_quarantined, ext_cache = _quarantine_pages(
+        spark, pages, out_dir, verify=verify_extraction
     )
+    docids_cache = None
+    try:
+        # mirror the (tiny) errors table so both segments are self-contained
+        shutil.copytree(
+            f"{out_dir}/errors", f"{out_dir_stop}/errors", dirs_exist_ok=True
+        )
 
-    docs = build_docs_dual(
-        pages, num_partitions=num_partitions, base_doc_id=base_doc_id,
-        verify_extraction=verify_extraction,
-    )
-    docids_cache = getattr(docs, "_docids_cache", None)
-    docids_expected = getattr(docs, "_docids_expected", None)
+        docs = build_docs_dual(
+            pages, num_partitions=num_partitions, base_doc_id=base_doc_id,
+            verify_extraction=verify_extraction,
+        )
+        docids_cache = getattr(docs, "_docids_cache", None)
+        docids_expected = getattr(docs, "_docids_expected", None)
+        # assign_doc_ids' own persist is fully materialized (its offsets
+        # collect ran inside build_docs), so the extraction cache is dead
+        # weight from here: release it NOW rather than hold two cached
+        # copies of the corpus text through the docs write
+        if ext_cache is not None:
+            ext_cache.unpersist()
 
-    if "_ext" in docs.columns:
-        n_bad = docs.filter(F.col("_ext") != F.col("text")).count()
-        if n_bad:
-            raise ValueError(
-                f"extract_text(html) != text for {n_bad} rows — "
-                "byte-identity invariant violated"
+        if "_ext" in docs.columns:
+            n_bad = docs.filter(F.col("_ext") != F.col("text")).count()
+            if n_bad:
+                raise ValueError(
+                    f"extract_text(html) != text for {n_bad} rows — "
+                    "byte-identity invariant violated"
+                )
+            docs = docs.drop("_ext")
+
+        lang_cols = ["lang"] if "lang" in docs.columns else []
+        base = docs.select(
+            "doc_id", "url", "text", *lang_cols, "doclen", "doclen_stop",
+            "_pid", F.length("text").alias("_tbytes"),
+        )
+        # both docs writes read the assign_doc_ids persist (extraction +
+        # doclens cached); only the projection differs. Submitted from two
+        # threads — independent Spark jobs share the task slots, so the
+        # second write overlaps the first instead of serializing behind it.
+        t_d0 = time.monotonic()
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _write_docs_default():
+            base.select(
+                "doc_id", "url", "text", *lang_cols, "doclen", "_pid",
+                "_tbytes",
+            ).write.mode("overwrite").parquet(f"{out_dir}/docs")
+
+        def _write_docs_stop():
+            base.select(
+                "doc_id", "url", "text", *lang_cols,
+                F.col("doclen_stop").alias("doclen"), "_pid", "_tbytes",
+            ).write.mode("overwrite").parquet(f"{out_dir_stop}/docs")
+
+        with ThreadPoolExecutor(2) as pool:
+            for f in [
+                pool.submit(_write_docs_default), pool.submit(_write_docs_stop)
+            ]:
+                f.result()
+        t_d1 = t_d2 = time.monotonic()
+        docs_wall = time.monotonic() - t_start
+        if docids_cache is not None:
+            docids_cache.unpersist()
+        docs_r = spark.read.parquet(f"{out_dir}/docs")
+        docs_r_stop = spark.read.parquet(f"{out_dir_stop}/docs")
+
+        with ThreadPoolExecutor(2) as pool:
+            fa = pool.submit(
+                _docs_lineage, spark, docs_r, base_doc_id, docids_expected,
+                docs_wall,
             )
-        docs = docs.drop("_ext")
-
-    lang_cols = ["lang"] if "lang" in docs.columns else []
-    base = docs.select(
-        "doc_id", "url", "text", *lang_cols, "doclen", "doclen_stop",
-        "_pid", F.length("text").alias("_tbytes"),
-    )
-    # both docs writes read the assign_doc_ids persist (extraction +
-    # doclens cached); only the projection differs. Submitted from two
-    # threads — independent Spark jobs share the task slots, so the
-    # second write overlaps the first instead of serializing behind it.
-    t_d0 = time.monotonic()
-    from concurrent.futures import ThreadPoolExecutor
-
-    def _write_docs_default():
-        base.select(
-            "doc_id", "url", "text", *lang_cols, "doclen", "_pid",
-            "_tbytes",
-        ).write.mode("overwrite").parquet(f"{out_dir}/docs")
-
-    def _write_docs_stop():
-        base.select(
-            "doc_id", "url", "text", *lang_cols,
-            F.col("doclen_stop").alias("doclen"), "_pid", "_tbytes",
-        ).write.mode("overwrite").parquet(f"{out_dir_stop}/docs")
-
-    with ThreadPoolExecutor(2) as pool:
-        for f in [
-            pool.submit(_write_docs_default), pool.submit(_write_docs_stop)
-        ]:
-            f.result()
-    t_d1 = t_d2 = time.monotonic()
-    docs_wall = time.monotonic() - t_start
-    if docids_cache is not None:
-        docids_cache.unpersist()
-    if ext_cache is not None:
-        ext_cache.unpersist()
-    docs_r = spark.read.parquet(f"{out_dir}/docs")
-    docs_r_stop = spark.read.parquet(f"{out_dir_stop}/docs")
-
-    with ThreadPoolExecutor(2) as pool:
-        fa = pool.submit(
-            _docs_lineage, spark, docs_r, base_doc_id, docids_expected,
-            docs_wall,
-        )
-        fb = pool.submit(
-            _docs_lineage, spark, docs_r_stop, base_doc_id,
-            docids_expected, docs_wall,
-        )
-        lin_a, n_docs_total, total_tokens, avgdl = fa.result()
-        lin_b, _, total_tokens_stop, avgdl_stop = fb.result()
-
-    tok_udf, tf_udf, _, tfpos_udf = ANALYZERS["default"]
-
-    # ---- shared head-term detection (same sampling as build_index; the
-    # stop terms it finds simply have no variant-1 postings) -------------
-    if salt_df_threshold >= n_docs_total:
-        head_terms = []
-    else:
-        frac = min(1.0, max(0.02, 2_000_000.0 / max(total_tokens, 1)))
-        scaled = salt_df_threshold * frac * 0.5
-        head_terms = [
-            r["term"]
-            for r in docs_r.sample(fraction=frac, seed=7)
-            .select(F.explode(tok_udf(F.col("text"))).alias("term"))
-            .groupBy("term")
-            .agg(F.count("*").alias("cf"))
-            .filter(F.col("cf") > scaled)
-            .collect()
-        ]
-
-    # ---- ONE tf stream for both variants: the dual tokenizer UDF emits
-    # the stopword doclen next to the tf entries (one tokenize; a
-    # Catalyst higher-order aggregate over the tf array was tried and
-    # measured ~13 s of interpreted eval per 20k docs) — doclen_stop then
-    # rides the exchange as one extra int --------------------------------
-    from ..textprep import tokenize_tf_dual, tokenize_tf_pos_dual
-
-    u = tokenize_tf_pos_dual if store_positions else tokenize_tf_dual
-    step = docs_r.select(
-        "doc_id",
-        F.col("doclen").cast("int").alias("doclen"),
-        u(F.col("text")).alias("_p"),
-    )
-    mid = step.select(
-        "doc_id", "doclen",
-        F.col("_p.dl_stop").alias("doclen_stop"),
-        F.explode("_p.entries").alias("e"),
-    )
-    out_cols = [
-        "doc_id", "doclen", "doclen_stop",
-        F.col("e.term").alias("term"), F.col("e.tf").alias("tf"),
-    ]
-    if store_positions:
-        out_cols.append(F.col("e.positions").alias("positions"))
-    exploded = mid.select(*out_cols)
-
-    salt_expr = (F.col("doc_id") / F.lit(salt_range)).cast("int")
-    carry_salt = bool(head_terms) and len(head_terms) > 4096
-    if not head_terms:
-        part_cols = [F.col("term")]
-    elif not carry_salt:
-        part_cols = [
-            F.col("term"),
-            F.when(F.col("term").isin(head_terms), salt_expr).otherwise(
-                F.lit(0)
-            ),
-        ]
-    else:
-        head_df = spark.createDataFrame(
-            [(t,) for t in head_terms], "term string"
-        ).withColumn("_is_head", F.lit(True))
-        exploded = (
-            exploded.join(F.broadcast(head_df), "term", "left")
-            .withColumn(
-                "salt",
-                F.when(F.col("_is_head"), salt_expr).otherwise(F.lit(0)),
+            fb = pool.submit(
+                _docs_lineage, spark, docs_r_stop, base_doc_id,
+                docids_expected, docs_wall,
             )
-            .drop("_is_head")
-        )
-        part_cols = [F.col("term"), F.col("salt")]
+            lin_a, n_docs_total, total_tokens, avgdl = fa.result()
+            lin_b, _, total_tokens_stop, avgdl_stop = fb.result()
 
-    builder = _make_block_builder(
-        avgdl, num_buckets, block_size,
-        head_terms=None if carry_salt else head_terms,
-        salt_range=salt_range,
-        dual=(avgdl_stop, STOPWORDS),
-    )
-    sort_cols = (
-        ["term", "salt", "doc_id"] if carry_salt else ["term", "doc_id"]
-    )
-    blocks = (
-        exploded.repartition(*part_cols)
-        .sortWithinPartitions(*sort_cols)
-        .mapInArrow(builder, POSTINGS_SCHEMA_DUAL)
-    )
-    tmp_post = f"{out_dir}/_dual_postings.tmp"
-    t_b0 = time.monotonic()
-    blocks.write.mode("overwrite").partitionBy("variant", "bucket").parquet(
-        tmp_post
-    )
-    t_b1 = time.monotonic()
-    for vdir, dest in (
-        (f"{tmp_post}/variant=0", f"{out_dir}/postings"),
-        (f"{tmp_post}/variant=1", f"{out_dir_stop}/postings"),
-    ):
-        if os.path.exists(dest):
-            shutil.rmtree(dest)
-        if os.path.isdir(vdir):
-            os.replace(vdir, dest)
+        tok_udf, tf_udf, _, tfpos_udf = ANALYZERS["default"]
+
+        # ---- shared head-term detection (same sampling as build_index; the
+        # stop terms it finds simply have no variant-1 postings) -------------
+        if salt_df_threshold >= n_docs_total:
+            head_terms = []
         else:
-            # degenerate corpus (e.g. all-stopword): standard empty table
-            spark.createDataFrame([], POSTINGS_SCHEMA).write.mode(
-                "overwrite"
-            ).parquet(dest)
-    shutil.rmtree(tmp_post, ignore_errors=True)
+            frac = min(1.0, max(0.02, 2_000_000.0 / max(total_tokens, 1)))
+            scaled = salt_df_threshold * frac * 0.5
+            head_terms = [
+                r["term"]
+                for r in docs_r.sample(fraction=frac, seed=7)
+                .select(F.explode(tok_udf(F.col("text"))).alias("term"))
+                .groupBy("term")
+                .agg(F.count("*").alias("cf"))
+                .filter(F.col("cf") > scaled)
+                .collect()
+            ]
 
-    common = dict(
-        base_doc_id=base_doc_id, num_buckets=num_buckets,
-        block_size=block_size, salt_df_threshold=salt_df_threshold,
-        salt_range=salt_range, n_head_terms=len(head_terms),
-        n_quarantined=n_quarantined, store_positions=store_positions,
-        t_start=t_start, docs_wall=docs_wall, n_docs_total=n_docs_total,
-    )
-    with ThreadPoolExecutor(2) as pool:
-        fa = pool.submit(
-            _finalize_segment, spark, out_dir, docs_lineage=lin_a,
-            avgdl=avgdl, total_tokens=total_tokens, analyzer="default",
-            **common,
+        # ---- ONE tf stream for both variants: the dual tokenizer UDF emits
+        # the stopword doclen next to the tf entries (one tokenize; a
+        # Catalyst higher-order aggregate over the tf array was tried and
+        # measured ~13 s of interpreted eval per 20k docs) — doclen_stop then
+        # rides the exchange as one extra int --------------------------------
+        from ..textprep import tokenize_tf_dual, tokenize_tf_pos_dual
+
+        u = tokenize_tf_pos_dual if store_positions else tokenize_tf_dual
+        step = docs_r.select(
+            "doc_id",
+            F.col("doclen").cast("int").alias("doclen"),
+            u(F.col("text")).alias("_p"),
         )
-        fb = pool.submit(
-            _finalize_segment, spark, out_dir_stop, docs_lineage=lin_b,
-            avgdl=avgdl_stop, total_tokens=total_tokens_stop,
-            analyzer="stopword", **common,
+        mid = step.select(
+            "doc_id", "doclen",
+            F.col("_p.dl_stop").alias("doclen_stop"),
+            F.explode("_p.entries").alias("e"),
         )
-        man_a, man_b = fa.result(), fb.result()
-    # stage walls for the shared pipeline (diagnosis + bench evidence)
-    man_a["dual_stage_walls_s"] = man_b["dual_stage_walls_s"] = {
-        "docs_write_default": round(t_d1 - t_d0, 2),
-        "docs_write_stopword": round(t_d2 - t_d1, 2),
-        "postings_dual": round(t_b1 - t_b0, 2),
-    }
-    return man_a, man_b
+        out_cols = [
+            "doc_id", "doclen", "doclen_stop",
+            F.col("e.term").alias("term"), F.col("e.tf").alias("tf"),
+        ]
+        if store_positions:
+            out_cols.append(F.col("e.positions").alias("positions"))
+        exploded = mid.select(*out_cols)
+
+        salt_expr = (F.col("doc_id") / F.lit(salt_range)).cast("int")
+        carry_salt = bool(head_terms) and len(head_terms) > 4096
+        if not head_terms:
+            part_cols = [F.col("term")]
+        elif not carry_salt:
+            part_cols = [
+                F.col("term"),
+                F.when(F.col("term").isin(head_terms), salt_expr).otherwise(
+                    F.lit(0)
+                ),
+            ]
+        else:
+            head_df = spark.createDataFrame(
+                [(t,) for t in head_terms], "term string"
+            ).withColumn("_is_head", F.lit(True))
+            exploded = (
+                exploded.join(F.broadcast(head_df), "term", "left")
+                .withColumn(
+                    "salt",
+                    F.when(F.col("_is_head"), salt_expr).otherwise(F.lit(0)),
+                )
+                .drop("_is_head")
+            )
+            part_cols = [F.col("term"), F.col("salt")]
+
+        builder = _make_block_builder(
+            avgdl, num_buckets, block_size,
+            head_terms=None if carry_salt else head_terms,
+            salt_range=salt_range,
+            dual=(avgdl_stop, STOPWORDS),
+        )
+        sort_cols = (
+            ["term", "salt", "doc_id"] if carry_salt else ["term", "doc_id"]
+        )
+        blocks = (
+            exploded.repartition(*part_cols)
+            .sortWithinPartitions(*sort_cols)
+            .mapInArrow(builder, POSTINGS_SCHEMA_DUAL)
+        )
+        tmp_post = f"{out_dir}/_dual_postings.tmp"
+        t_b0 = time.monotonic()
+        blocks.write.mode("overwrite").partitionBy("variant", "bucket").parquet(
+            tmp_post
+        )
+        t_b1 = time.monotonic()
+        for vdir, dest in (
+            (f"{tmp_post}/variant=0", f"{out_dir}/postings"),
+            (f"{tmp_post}/variant=1", f"{out_dir_stop}/postings"),
+        ):
+            if os.path.exists(dest):
+                shutil.rmtree(dest)
+            if os.path.isdir(vdir):
+                os.replace(vdir, dest)
+            else:
+                # degenerate corpus (e.g. all-stopword): standard empty table
+                spark.createDataFrame([], POSTINGS_SCHEMA).write.mode(
+                    "overwrite"
+                ).parquet(dest)
+        shutil.rmtree(tmp_post, ignore_errors=True)
+
+        common = dict(
+            base_doc_id=base_doc_id, num_buckets=num_buckets,
+            block_size=block_size, salt_df_threshold=salt_df_threshold,
+            salt_range=salt_range, n_head_terms=len(head_terms),
+            n_quarantined=n_quarantined, store_positions=store_positions,
+            t_start=t_start, docs_wall=docs_wall, n_docs_total=n_docs_total,
+        )
+        with ThreadPoolExecutor(2) as pool:
+            fa = pool.submit(
+                _finalize_segment, spark, out_dir, docs_lineage=lin_a,
+                avgdl=avgdl, total_tokens=total_tokens, analyzer="default",
+                **common,
+            )
+            fb = pool.submit(
+                _finalize_segment, spark, out_dir_stop, docs_lineage=lin_b,
+                avgdl=avgdl_stop, total_tokens=total_tokens_stop,
+                analyzer="stopword", **common,
+            )
+            man_a, man_b = fa.result(), fb.result()
+        # stage walls for the shared pipeline (diagnosis + bench evidence)
+        man_a["dual_stage_walls_s"] = man_b["dual_stage_walls_s"] = {
+            "docs_write_default": round(t_d1 - t_d0, 2),
+            "docs_write_stopword": round(t_d2 - t_d1, 2),
+            "postings_dual": round(t_b1 - t_b0, 2),
+        }
+        return man_a, man_b
+    finally:
+        # idempotent (unpersist on a released DataFrame is a no-op):
+        # guarantees no full-corpus cache outlives a failed build —
+        # streaming/ingest call this per micro-batch in one session
+        for _c in (docids_cache, ext_cache):
+            if _c is not None:
+                _c.unpersist()
 
 
 def build_index(
@@ -886,187 +911,201 @@ def build_index(
     t_start = time.monotonic()
     os.makedirs(out_dir, exist_ok=True)
 
-    pages, n_quarantined, ext_cache = _quarantine_pages(spark, pages, out_dir)
-
-    docs = build_docs(
-        pages, num_partitions=num_partitions, base_doc_id=base_doc_id,
-        verify_extraction=verify_extraction, analyzer=analyzer,
+    pages, n_quarantined, ext_cache = _quarantine_pages(
+        spark, pages, out_dir, verify=verify_extraction
     )
-    # capture the build_docs side-band state NOW: any transformation below
-    # (e.g. the verify-path .drop("_ext")) returns a fresh DataFrame that
-    # silently discards monkey-patched attributes, which previously leaked
-    # the range-shuffle cache and skipped the offset-count invariant leg
-    # whenever verify_extraction=True
-    docids_cache = getattr(docs, "_docids_cache", None)
-    docids_expected = getattr(docs, "_docids_expected", None)
-    tok_udf, tf_udf, _, tfpos_udf = ANALYZERS[analyzer]
+    docids_cache = None
+    try:
 
-    if "_ext" in docs.columns:
-        n_bad = docs.filter(F.col("_ext") != F.col("text")).count()
-        if n_bad:
-            raise ValueError(
-                f"extract_text(html) != text for {n_bad} rows — "
-                "byte-identity invariant violated"
+        docs = build_docs(
+            pages, num_partitions=num_partitions, base_doc_id=base_doc_id,
+            verify_extraction=verify_extraction, analyzer=analyzer,
+        )
+        # capture the build_docs side-band state NOW: any transformation below
+        # (e.g. the verify-path .drop("_ext")) returns a fresh DataFrame that
+        # silently discards monkey-patched attributes, which previously leaked
+        # the range-shuffle cache and skipped the offset-count invariant leg
+        # whenever verify_extraction=True
+        docids_cache = getattr(docs, "_docids_cache", None)
+        docids_expected = getattr(docs, "_docids_expected", None)
+        # assign_doc_ids' own persist is fully materialized (its offsets
+        # collect ran inside build_docs), so the extraction cache is dead
+        # weight from here: release it NOW rather than hold two cached
+        # copies of the corpus text through the docs write
+        if ext_cache is not None:
+            ext_cache.unpersist()
+        tok_udf, tf_udf, _, tfpos_udf = ANALYZERS[analyzer]
+
+        if "_ext" in docs.columns:
+            n_bad = docs.filter(F.col("_ext") != F.col("text")).count()
+            if n_bad:
+                raise ValueError(
+                    f"extract_text(html) != text for {n_bad} rows — "
+                    "byte-identity invariant violated"
+                )
+            docs = docs.drop("_ext")
+
+        # ---- docs table write (pass 1: ids + tokenize-for-doclen + write).
+        # No .persist(): the docs parquet IS the materialization — later stages
+        # re-read the compact columnar file instead of a token-array cache.
+        # _tbytes (text length) is persisted as a 4-byte column so the lineage
+        # aggregation below reads ONLY narrow columns — computing
+        # sum(length(text)) at lineage time would decompress the whole text
+        # column a second time (measured as a full extra scan of the corpus)
+        docs.select(
+            "doc_id", "url", "text",
+            *(["lang"] if "lang" in docs.columns else []), "doclen", "_pid",
+            F.length("text").alias("_tbytes"),
+        ).write.mode("overwrite").parquet(f"{out_dir}/docs")
+        docs_wall = time.monotonic() - t_start
+        # ids are materialized in the parquet — release the range-shuffle cache
+        # that pinned the docID/offset correspondence (leak fix: a long-lived
+        # session building many segments would otherwise accumulate these)
+        if docids_cache is not None:
+            docids_cache.unpersist()
+        docs_r = spark.read.parquet(f"{out_dir}/docs")
+
+        docs_lineage, n_docs_total, total_tokens, avgdl = _docs_lineage(
+            spark, docs_r, base_doc_id, docids_expected, docs_wall
+        )
+
+        # ---- tf stream: re-tokenize from the written docs table with
+        # DOC-LOCAL tf aggregation (tokenize_tf) → explode one row per distinct
+        # (doc, term) — 2-3× less shuffle volume than raw token occurrences.
+        # doclen rides along (functionally dependent on doc_id) to avoid a
+        # docs-side join when computing block-max norms. NO tf groupBy shuffle:
+        # residual reduction happens inside the term-partitioned sort below, so
+        # the whole posting path is ONE exchange of the stream.
+        # doclen rides as int (doc lengths are << 2^31): the exchange below
+        # streams the whole token table — narrower rows = less memory-bus and
+        # shuffle traffic, which profiling shows is this stage's ceiling
+        dl_int = F.col("doclen").cast("int").alias("doclen")
+        if store_positions:
+            exploded = docs_r.select(
+                "doc_id", dl_int, F.explode(tfpos_udf(F.col("text"))).alias("e")
+            ).select(
+                "doc_id", "doclen", F.col("e.term").alias("term"),
+                F.col("e.tf").alias("tf"), F.col("e.positions").alias("positions"),
             )
-        docs = docs.drop("_ext")
+        else:
+            exploded = docs_r.select(
+                "doc_id", dl_int, F.explode(tf_udf(F.col("text"))).alias("e")
+            ).select(
+                "doc_id", "doclen", F.col("e.term").alias("term"),
+                F.col("e.tf").alias("tf"),
+            )
 
-    # ---- docs table write (pass 1: ids + tokenize-for-doclen + write).
-    # No .persist(): the docs parquet IS the materialization — later stages
-    # re-read the compact columnar file instead of a token-array cache.
-    # _tbytes (text length) is persisted as a 4-byte column so the lineage
-    # aggregation below reads ONLY narrow columns — computing
-    # sum(length(text)) at lineage time would decompress the whole text
-    # column a second time (measured as a full extra scan of the corpus)
-    docs.select(
-        "doc_id", "url", "text",
-        *(["lang"] if "lang" in docs.columns else []), "doclen", "_pid",
-        F.length("text").alias("_tbytes"),
-    ).write.mode("overwrite").parquet(f"{out_dir}/docs")
-    docs_wall = time.monotonic() - t_start
-    # ids are materialized in the parquet — release the range-shuffle cache
-    # that pinned the docID/offset correspondence (leak fix: a long-lived
-    # session building many segments would otherwise accumulate these),
-    # and the html-extraction cache it was fed from
-    if docids_cache is not None:
-        docids_cache.unpersist()
-    if ext_cache is not None:
-        ext_cache.unpersist()
-    docs_r = spark.read.parquet(f"{out_dir}/docs")
-
-    docs_lineage, n_docs_total, total_tokens, avgdl = _docs_lineage(
-        spark, docs_r, base_doc_id, docids_expected, docs_wall
-    )
-
-    # ---- tf stream: re-tokenize from the written docs table with
-    # DOC-LOCAL tf aggregation (tokenize_tf) → explode one row per distinct
-    # (doc, term) — 2-3× less shuffle volume than raw token occurrences.
-    # doclen rides along (functionally dependent on doc_id) to avoid a
-    # docs-side join when computing block-max norms. NO tf groupBy shuffle:
-    # residual reduction happens inside the term-partitioned sort below, so
-    # the whole posting path is ONE exchange of the stream.
-    # doclen rides as int (doc lengths are << 2^31): the exchange below
-    # streams the whole token table — narrower rows = less memory-bus and
-    # shuffle traffic, which profiling shows is this stage's ceiling
-    dl_int = F.col("doclen").cast("int").alias("doclen")
-    if store_positions:
-        exploded = docs_r.select(
-            "doc_id", dl_int, F.explode(tfpos_udf(F.col("text"))).alias("e")
-        ).select(
-            "doc_id", "doclen", F.col("e.term").alias("term"),
-            F.col("e.tf").alias("tf"), F.col("e.positions").alias("positions"),
-        )
-    else:
-        exploded = docs_r.select(
-            "doc_id", dl_int, F.explode(tf_udf(F.col("text"))).alias("e")
-        ).select(
-            "doc_id", "doclen", F.col("e.term").alias("term"),
-            F.col("e.tf").alias("tf"),
-        )
-
-    # ---- head-term salting (contiguous doc ranges) ---------------------
-    # Skip the detection pass when the threshold can't be exceeded
-    # (df <= cf and cf <= total tokens; cheap guard: threshold >= n_docs
-    # means no term's df can cross it). When active, the collection
-    # frequency cf is used as the (cheaper, upper-bounding) proxy for df —
-    # salting a few extra near-head terms is harmless, missing one is not
-    # possible since cf >= df.
-    if salt_df_threshold >= n_docs_total:
-        head_terms = []
-    else:
-        # detect head terms on a SAMPLE — a full-corpus cf pass would cost
-        # an entire extra tokenize+agg job (event-log profiling: ~20% of
-        # the build). Sampling with a 0.5 safety margin over-salts a few
-        # near-head terms (harmless) and cannot miss a true head term in
-        # expectation; exactness is not required, only skew protection.
+        # ---- head-term salting (contiguous doc ranges) ---------------------
+        # Skip the detection pass when the threshold can't be exceeded
+        # (df <= cf and cf <= total tokens; cheap guard: threshold >= n_docs
+        # means no term's df can cross it). When active, the collection
+        # frequency cf is used as the (cheaper, upper-bounding) proxy for df —
+        # salting a few extra near-head terms is harmless, missing one is not
+        # possible since cf >= df.
+        if salt_df_threshold >= n_docs_total:
+            head_terms = []
+        else:
+            # detect head terms on a SAMPLE — a full-corpus cf pass would cost
+            # an entire extra tokenize+agg job (event-log profiling: ~20% of
+            # the build). Sampling with a 0.5 safety margin over-salts a few
+            # near-head terms (harmless) and cannot miss a true head term in
+            # expectation; exactness is not required, only skew protection.
+            #
+            # (A whole-partition _pid-isin sample was tried here to get parquet
+            # file pruning — it concentrated the tokenize into k tasks and ran
+            # 13× SLOWER than the spread row sample; the row sample keeps all
+            # partitions' parallelism and measures ~2 s at 240k docs.)
+            frac = min(1.0, max(0.02, 2_000_000.0 / max(total_tokens, 1)))
+            scaled = salt_df_threshold * frac * 0.5
+            head_terms = [
+                r["term"]
+                for r in docs_r.sample(fraction=frac, seed=7)
+                .select(F.explode(tok_udf(F.col("text"))).alias("term"))
+                .groupBy("term")
+                .agg(F.count("*").alias("cf"))
+                .filter(F.col("cf") > scaled)
+                .collect()
+            ]
+        # ---- the ONE big shuffle: hash-partition the token stream by
+        # (term, salt), sort within partitions by (term, doc_id), then
+        # stream-build tf runs + blocks (many groups per Python call).
         #
-        # (A whole-partition _pid-isin sample was tried here to get parquet
-        # file pruning — it concentrated the tokenize into k tasks and ran
-        # 13× SLOWER than the spread row sample; the row sample keeps all
-        # partitions' parallelism and measures ~2 s at 240k docs.)
-        frac = min(1.0, max(0.02, 2_000_000.0 / max(total_tokens, 1)))
-        scaled = salt_df_threshold * frac * 0.5
-        head_terms = [
-            r["term"]
-            for r in docs_r.sample(fraction=frac, seed=7)
-            .select(F.explode(tok_udf(F.col("text"))).alias("term"))
-            .groupBy("term")
-            .agg(F.count("*").alias("cf"))
-            .filter(F.col("cf") > scaled)
-            .collect()
-        ]
-    # ---- the ONE big shuffle: hash-partition the token stream by
-    # (term, salt), sort within partitions by (term, doc_id), then
-    # stream-build tf runs + blocks (many groups per Python call).
-    #
-    # salt is NOT carried as a row column: it is fully derived from
-    # (term ∈ head set, doc_id // salt_range), so it rides the PARTITIONING
-    # EXPRESSION only and the builder recomputes it per batch with an
-    # Arrow is_in kernel. That keeps the sorted row one 8-byte slot
-    # narrower through the exchange + sort — the memory-bandwidth-bound
-    # stage (BENCH/BASELINE.md §2) — and sorting by (term, doc_id) is
-    # order-identical to (term, salt, doc_id) because salt is monotonic in
-    # doc_id within a term. Above 4096 head terms the literal isin would
-    # bloat the plan; the head set is then shipped via a broadcast variable
-    # lookup inside the partition expression fallback (carry column path).
-    #
-    # (Partition sizing note: an explicit cache-sized partition count for
-    # this exchange was measured at 240k docs — 8 MB targets ran 1.8×
-    # SLOWER than the pinned shuffle-partition default; per-task fixed
-    # costs (Python stream setup, per-bucket parquet files) dominate any
-    # LLC-residency gain here, so the exchange keeps the session default.)
-    salt_expr = (F.col("doc_id") / F.lit(salt_range)).cast("int")
-    carry_salt = bool(head_terms) and len(head_terms) > 4096
-    if not head_terms:
-        part_cols = [F.col("term")]
-    elif not carry_salt:
-        part_cols = [
-            F.col("term"),
-            F.when(F.col("term").isin(head_terms), salt_expr).otherwise(
-                F.lit(0)
-            ),
-        ]
-    else:
-        # degenerate many-head fallback: broadcast-join the head set and
-        # carry the salt column (wide rows, but the case implies a
-        # pathological salt_df_threshold)
-        head_df = spark.createDataFrame(
-            [(t,) for t in head_terms], "term string"
-        ).withColumn("_is_head", F.lit(True))
-        exploded = (
-            exploded.join(F.broadcast(head_df), "term", "left")
-            .withColumn(
-                "salt",
-                F.when(F.col("_is_head"), salt_expr).otherwise(F.lit(0)),
+        # salt is NOT carried as a row column: it is fully derived from
+        # (term ∈ head set, doc_id // salt_range), so it rides the PARTITIONING
+        # EXPRESSION only and the builder recomputes it per batch with an
+        # Arrow is_in kernel. That keeps the sorted row one 8-byte slot
+        # narrower through the exchange + sort — the memory-bandwidth-bound
+        # stage (BENCH/BASELINE.md §2) — and sorting by (term, doc_id) is
+        # order-identical to (term, salt, doc_id) because salt is monotonic in
+        # doc_id within a term. Above 4096 head terms the literal isin would
+        # bloat the plan; the head set is then shipped via a broadcast variable
+        # lookup inside the partition expression fallback (carry column path).
+        #
+        # (Partition sizing note: an explicit cache-sized partition count for
+        # this exchange was measured at 240k docs — 8 MB targets ran 1.8×
+        # SLOWER than the pinned shuffle-partition default; per-task fixed
+        # costs (Python stream setup, per-bucket parquet files) dominate any
+        # LLC-residency gain here, so the exchange keeps the session default.)
+        salt_expr = (F.col("doc_id") / F.lit(salt_range)).cast("int")
+        carry_salt = bool(head_terms) and len(head_terms) > 4096
+        if not head_terms:
+            part_cols = [F.col("term")]
+        elif not carry_salt:
+            part_cols = [
+                F.col("term"),
+                F.when(F.col("term").isin(head_terms), salt_expr).otherwise(
+                    F.lit(0)
+                ),
+            ]
+        else:
+            # degenerate many-head fallback: broadcast-join the head set and
+            # carry the salt column (wide rows, but the case implies a
+            # pathological salt_df_threshold)
+            head_df = spark.createDataFrame(
+                [(t,) for t in head_terms], "term string"
+            ).withColumn("_is_head", F.lit(True))
+            exploded = (
+                exploded.join(F.broadcast(head_df), "term", "left")
+                .withColumn(
+                    "salt",
+                    F.when(F.col("_is_head"), salt_expr).otherwise(F.lit(0)),
+                )
+                .drop("_is_head")
             )
-            .drop("_is_head")
-        )
-        part_cols = [F.col("term"), F.col("salt")]
+            part_cols = [F.col("term"), F.col("salt")]
 
-    builder = _make_block_builder(
-        avgdl, num_buckets, block_size,
-        head_terms=None if carry_salt else head_terms,
-        salt_range=salt_range,
-    )
-    sort_cols = (
-        ["term", "salt", "doc_id"] if carry_salt else ["term", "doc_id"]
-    )
-    blocks = (
-        exploded.repartition(*part_cols)
-        .sortWithinPartitions(*sort_cols)
-        .mapInArrow(builder, POSTINGS_SCHEMA)
-    )
-    blocks.write.mode("overwrite").partitionBy("bucket").parquet(
-        f"{out_dir}/postings"
-    )
-    return _finalize_segment(
-        spark, out_dir, docs_lineage=docs_lineage,
-        n_docs_total=n_docs_total, avgdl=avgdl, total_tokens=total_tokens,
-        base_doc_id=base_doc_id, analyzer=analyzer, num_buckets=num_buckets,
-        block_size=block_size, salt_df_threshold=salt_df_threshold,
-        salt_range=salt_range, n_head_terms=len(head_terms),
-        n_quarantined=n_quarantined, store_positions=store_positions,
-        t_start=t_start, docs_wall=docs_wall,
-    )
+        builder = _make_block_builder(
+            avgdl, num_buckets, block_size,
+            head_terms=None if carry_salt else head_terms,
+            salt_range=salt_range,
+        )
+        sort_cols = (
+            ["term", "salt", "doc_id"] if carry_salt else ["term", "doc_id"]
+        )
+        blocks = (
+            exploded.repartition(*part_cols)
+            .sortWithinPartitions(*sort_cols)
+            .mapInArrow(builder, POSTINGS_SCHEMA)
+        )
+        blocks.write.mode("overwrite").partitionBy("bucket").parquet(
+            f"{out_dir}/postings"
+        )
+        return _finalize_segment(
+            spark, out_dir, docs_lineage=docs_lineage,
+            n_docs_total=n_docs_total, avgdl=avgdl, total_tokens=total_tokens,
+            base_doc_id=base_doc_id, analyzer=analyzer, num_buckets=num_buckets,
+            block_size=block_size, salt_df_threshold=salt_df_threshold,
+            salt_range=salt_range, n_head_terms=len(head_terms),
+            n_quarantined=n_quarantined, store_positions=store_positions,
+            t_start=t_start, docs_wall=docs_wall,
+        )
+    finally:
+        # idempotent (unpersist on a released DataFrame is a no-op):
+        # guarantees no full-corpus cache outlives a failed build —
+        # streaming/ingest call this per micro-batch in one session
+        for _c in (docids_cache, ext_cache):
+            if _c is not None:
+                _c.unpersist()
 
 
 def _finalize_segment(

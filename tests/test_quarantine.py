@@ -59,3 +59,81 @@ def test_clean_corpus_has_empty_errors_table(spark, pages_df, tmp_path):
     man = build_index(spark, pages_df.limit(40), out, num_buckets=4)
     assert man["quarantined"] == 0
     assert spark.read.parquet(f"{out}/errors").count() == 0
+
+
+def test_extraction_cache_released_and_single_pass(spark, tmp_path):
+    """The html-only path persists extraction once; after a successful
+    build no persistent RDD (neither the extraction cache nor the docids
+    range cache) may outlive the call."""
+    pdf = gen_pages(50, seed=11)
+    path = str(tmp_path / "pages.parquet")
+    _write_pages_no_text(pdf, path)
+    pages = spark.read.parquet(path)
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    build_index(spark, pages, str(tmp_path / "idx3"), num_buckets=4)
+    after = jsc.getPersistentRDDs().size()
+    assert after <= before, (
+        f"persistent RDDs grew {before} -> {after}: extraction/docids cache leaked"
+    )
+
+
+def test_verify_extraction_reaches_html_only_path(spark, tmp_path):
+    """verify_extraction must still gate html-only inputs: quarantine
+    drops the html column, so the cross-check (raw extract_text vs the
+    dead-letter-safe extractor) rides the cached scan as _ext."""
+    from pyspark.sql import functions as F
+
+    from solr_indexing_spark.indexing.build import _quarantine_pages
+
+    pdf = gen_pages(20, seed=13)
+    path = str(tmp_path / "pages.parquet")
+    _write_pages_no_text(pdf, path)
+    pages = spark.read.parquet(path)
+
+    clean, n_q, cache = _quarantine_pages(
+        spark, pages, str(tmp_path / "q"), verify=True
+    )
+    try:
+        assert "_ext" in clean.columns, "verify flag must surface _ext"
+        # both extractors agree on clean rows (the invariant build_index
+        # enforces before committing the segment)
+        assert clean.filter(F.col("_ext") != F.col("text")).count() == 0
+    finally:
+        if cache is not None:
+            cache.unpersist()
+
+    # end-to-end: the verify build must succeed and leak nothing
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    man = build_index(
+        spark, pages, str(tmp_path / "idx4"), num_buckets=4,
+        verify_extraction=True,
+    )
+    assert man["n_docs"] == 20
+    assert jsc.getPersistentRDDs().size() <= before
+
+
+def test_failed_build_releases_caches(spark, pages_df, tmp_path):
+    """A build that dies mid-flight (byte-identity violation) must not
+    leave the docids/extraction caches persisted — streaming ingest
+    calls build_index per micro-batch in one long-lived session."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    corrupted = pages_df.limit(30).withColumn(
+        "text",
+        F.when(F.col("url").contains("00000003"), F.lit("WRONG"))
+        .otherwise(F.col("text")),
+    )
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    with pytest.raises(ValueError, match="byte-identity"):
+        build_index(
+            spark, corrupted, str(tmp_path / "idx5"), num_buckets=4,
+            verify_extraction=True,
+        )
+    after = jsc.getPersistentRDDs().size()
+    assert after <= before, (
+        f"persistent RDDs grew {before} -> {after}: cache leaked on failure"
+    )

@@ -58,7 +58,8 @@ def packed_case_laws(spark, n: int):
 
 def main() -> None:
     args = sys.argv[1:]
-    n = int(args[0]) if args and not args[0].startswith("--") else 20000
+    sizes = [a for a in args if not a.startswith("--")]
+    n = int(sizes[0]) if sizes else 20000
     dual = "--dual" in args
 
     from solr_indexing_spark.ingest import run_ingest
