@@ -13,14 +13,23 @@ import json
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--index", required=True)
+    ap.add_argument("--index", required=True,
+                    help="index segment dir, or an ingest job dir "
+                         "(routed via --analyzer)")
     ap.add_argument("--query", required=True)
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--mode", choices=["bmw", "brute"], default="bmw")
+    ap.add_argument("--analyzer", choices=["default", "stopword"],
+                    default=None,
+                    help="which analyzer variant to query (the "
+                         "reference's IndexName vs IndexNameStopword)")
     ap.add_argument("--cores", default=None)
     args = ap.parse_args()
 
+    from solr_indexing_spark.ingest import resolve_index
     from solr_indexing_spark.session import get_spark
+
+    args.index = resolve_index(args.index, args.analyzer)
 
     if args.cores:
         spark = get_spark("query", cores=args.cores)

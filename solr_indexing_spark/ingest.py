@@ -83,6 +83,39 @@ def compose(
     return doc
 
 
+def resolve_index(path: str, analyzer: str | None = None) -> str:
+    """Job dir or segment dir → the segment dir for the requested
+    analyzer — the reference's query-time routing between ``IndexName``
+    and ``IndexNameStopword`` (solrIndexCreation.ts:877-880): a dual
+    ingest job writes both variants, and queries pick one.
+
+    ``analyzer=None`` on a plain segment passes it through unvalidated
+    (pre-existing single-segment usage); on a job dir it means the
+    default variant. An explicit analyzer is validated against the
+    segment manifest so a stopword query never silently runs against
+    default-analyzer postings."""
+    if os.path.exists(f"{path}/_job_manifest.json"):
+        sub = "index_stopword" if analyzer == "stopword" else "index"
+        seg = f"{path}/{sub}"
+        if not os.path.exists(f"{seg}/_manifest.json"):
+            raise ValueError(
+                f"ingest job at {path} has no committed "
+                f"{analyzer or 'default'!r} segment ({sub}/ absent — "
+                "was the job built without --dual?)"
+            )
+        return seg
+    if analyzer is not None:
+        from .indexing.build import read_manifest
+
+        built_with = read_manifest(path).get("analyzer", "default")
+        if built_with != analyzer:
+            raise ValueError(
+                f"segment {path} was built with analyzer="
+                f"{built_with!r}, requested {analyzer!r}"
+            )
+    return path
+
+
 def suggest_entries(doc: DataFrame) -> DataFrame | None:
     """Flatten ``Suggest[]`` → (input, weight) completion rows; None for
     doctypes without suggesters."""

@@ -117,3 +117,34 @@ def test_single_segment_mode(spark, tmp_path):
         .select("doc_id", "url").collect()
     }
     assert urls[rows[0]["doc_id"]] == "S3"
+
+
+def test_resolve_index_routing(spark, ingested, tmp_path):
+    """Query-time analyzer routing (IndexName vs IndexNameStopword,
+    ts:877-880): a job dir resolves to the requested variant, an
+    explicit analyzer is validated against segment manifests, and a
+    plain segment without a flag passes through untouched."""
+    import pytest
+
+    from solr_indexing_spark.indexing.build import read_manifest
+    from solr_indexing_spark.ingest import resolve_index
+
+    out, _job = ingested
+    assert resolve_index(out) == f"{out}/index"
+    assert resolve_index(out, "default") == f"{out}/index"
+    assert resolve_index(out, "stopword") == f"{out}/index_stopword"
+    assert read_manifest(resolve_index(out, "stopword"))["analyzer"] == "stopword"
+
+    seg = f"{out}/index"
+    assert resolve_index(seg) == seg                  # no flag: pass-through
+    assert resolve_index(seg, "default") == seg
+    with pytest.raises(ValueError, match="built with analyzer"):
+        resolve_index(seg, "stopword")                # mismatch is loud
+    with pytest.raises(ValueError, match="no committed"):
+        # a non-dual job dir has no stopword variant
+        import json, os
+        fake = str(tmp_path / "fakejob")
+        os.makedirs(f"{fake}", exist_ok=True)
+        with open(f"{fake}/_job_manifest.json", "w") as fh:
+            json.dump({"doctype": "x", "dual": False}, fh)
+        resolve_index(fake, "stopword")
