@@ -148,3 +148,22 @@ def test_resolve_index_routing(spark, ingested, tmp_path):
         with open(f"{fake}/_job_manifest.json", "w") as fh:
             json.dump({"doctype": "x", "dual": False}, fh)
         resolve_index(fake, "stopword")
+
+
+def test_positional_ingest_serves_phrase_queries(spark, tmp_path):
+    """--positions through the whole job: packed rows → composed docs →
+    positional segment, then an exact-phrase query over the composed
+    fullcontent (the adjacency 'appears here' exists, the reversed
+    bigram does not)."""
+    from solr_indexing_spark.query.phrase import phrase_topk
+
+    out = str(tmp_path / "posjob")
+    job = run_ingest(
+        spark, _packed(spark, n=25), "case_laws", out,
+        store_positions=True, templateid="T",
+    )
+    assert job["manifests"]["index"]["positions"] is True
+    seg = f"{out}/index"
+    hits = phrase_topk(spark, seg, "zq7 appears", k=5).collect()
+    assert [h["doc_id"] for h in hits] and len(hits) == 1
+    assert phrase_topk(spark, seg, "appears zq7", k=5).collect() == []
