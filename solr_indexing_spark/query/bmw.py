@@ -314,6 +314,11 @@ class QuerySession:
         self.dictionary = spark.read.parquet(f"{index_dir}/dictionary")
         self.postings = spark.read.parquet(f"{index_dir}/postings")
         self.dead = load_tombstones(spark, index_dir)
+        # driver-side term-stats cache (idf + block-max upper bound per
+        # term, ~100 B/entry, negative entries included): what a search
+        # server keeps hot. Valid for the session's lifetime because the
+        # segment is immutable. Bounded by TERM_META_CACHE_CAP.
+        self._term_meta: dict = {}
         if cache_dictionary:
             self.dictionary = self.dictionary.persist()
         if cache_postings:
@@ -330,7 +335,7 @@ class QuerySession:
     ) -> DataFrame:
         return _topk_impl(
             self.spark, self.man, self.dictionary, self.postings, query, k,
-            shard_range, dead=self.dead,
+            shard_range, dead=self.dead, meta_cache=self._term_meta,
         )
 
 
@@ -363,6 +368,13 @@ def topk(
     )
 
 
+#: bound on a QuerySession's driver-side term-stats cache. Entries are
+#: ~100 bytes; the cap keeps a hostile/huge query stream from growing the
+#: driver unboundedly (on overflow the cache is simply cleared — the next
+#: queries repopulate the hot head, which Zipf query streams guarantee).
+TERM_META_CACHE_CAP = 1_000_000
+
+
 def _topk_impl(
     spark: SparkSession,
     man: dict,
@@ -372,6 +384,7 @@ def _topk_impl(
     k: int,
     shard_range: int,
     dead: frozenset = frozenset(),
+    meta_cache: dict | None = None,
 ) -> DataFrame:
     num_buckets = man["num_buckets"]
     n_docs, avgdl = man["n_docs"], man["avgdl"]
@@ -390,19 +403,41 @@ def _topk_impl(
     empty = spark.createDataFrame([], "doc_id long, score double")
     if not terms:
         return empty
-    buckets = sorted({_term_bucket_py(t, num_buckets) for t in terms})
 
-    dict_rows = (
-        dictionary
-        .filter(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
-        .collect()
-    )
-    if not dict_rows:
+    # ---- term stats (idf, block-max upper bound), with an optional
+    # driver-side cache (QuerySession): segments are immutable, so a
+    # term's (df, max_tf_norm) never changes for this segment's lifetime
+    # — repeated terms (Zipf query streams) skip the dictionary job
+    # entirely, including negative entries for OOV terms -----------------
+    term_meta: dict = {}
+    misses = terms
+    if meta_cache is not None:
+        misses = [t for t in terms if t not in meta_cache]
+        term_meta = {
+            t: meta_cache[t]
+            for t in terms
+            if meta_cache.get(t) is not None
+        }
+    if misses:
+        buckets = sorted({_term_bucket_py(t, num_buckets) for t in misses})
+        dict_rows = (
+            dictionary
+            .filter(F.col("bucket").isin(buckets) & F.col("term").isin(misses))
+            .collect()
+        )
+        found = {}
+        for r in dict_rows:
+            idf = math.log(1.0 + (n_docs - r["df"] + 0.5) / (r["df"] + 0.5))
+            found[r["term"]] = (idf, idf * r["max_tf_norm"])
+        if meta_cache is not None:
+            if len(meta_cache) + len(misses) > TERM_META_CACHE_CAP:
+                meta_cache.clear()
+            for t in misses:
+                meta_cache[t] = found.get(t)  # None = negative entry
+        term_meta.update(found)
+    if not term_meta:
         return empty
-    term_meta = {}
-    for r in dict_rows:
-        idf = math.log(1.0 + (n_docs - r["df"] + 0.5) / (r["df"] + 0.5))
-        term_meta[r["term"]] = (idf, idf * r["max_tf_norm"])
+    buckets = sorted({_term_bucket_py(t, num_buckets) for t in term_meta})
 
     blocks = (
         postings

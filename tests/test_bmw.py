@@ -49,3 +49,31 @@ def test_bmw_k_variants(spark, index_dir, oracle):  # noqa: F811
         want = oracle.topk(q, k=k)
         got = [(r["doc_id"], r["score"]) for r in topk(spark, index_dir, q, k=k).collect()]
         assert [d for d, _ in got] == [d for d, _ in want], f"k={k}"
+
+
+def test_query_session_term_cache(spark, index_dir, oracle):  # noqa: F811
+    """QuerySession caches per-term stats driver-side (segments are
+    immutable): a repeated query must not touch the dictionary at all,
+    must rank identically to the one-shot path, and OOV terms get
+    negative entries so they never re-query."""
+    from solr_indexing_spark.query.bmw import QuerySession, topk
+
+    q = "zanpelmek belhax nosuchterm"
+    want = [(r["doc_id"], round(r["score"], 9))
+            for r in topk(spark, index_dir, q, k=10).collect()]
+
+    qs = QuerySession(spark, index_dir)
+    first = [(r["doc_id"], round(r["score"], 9))
+             for r in qs.topk(q, k=10).collect()]
+    assert first == want
+    assert qs._term_meta.get("nosuchterm", "absent") is None  # negative
+    assert qs._term_meta["zanpelmek"] is not None
+
+    # sever the dictionary: a cached repeat must never reach it
+    qs.dictionary = None
+    again = [(r["doc_id"], round(r["score"], 9))
+             for r in qs.topk(q, k=10).collect()]
+    assert again == want
+
+    # an all-OOV cached query short-circuits to empty without the dict
+    assert qs.topk("nosuchterm", k=5).collect() == []
