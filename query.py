@@ -26,10 +26,27 @@ def main() -> None:
     ap.add_argument("--cores", default=None)
     args = ap.parse_args()
 
-    from solr_indexing_spark.ingest import resolve_index
+    import os
+
+    from solr_indexing_spark.ingest import job_segments, resolve_index
     from solr_indexing_spark.session import get_spark
 
-    args.index = resolve_index(args.index, args.analyzer)
+    # a partially re-indexed job serves a segment CHAIN (base + deltas,
+    # combined stats + union tombstones) until the next merge compacts it
+    seg_dirs: list[str] | None = None
+    if os.path.exists(f"{args.index}/_job_manifest.json") and (
+        args.analyzer in (None, "default")
+    ):
+        chain = job_segments(args.index)
+        if len(chain) > 1:
+            if args.mode != "bmw":
+                raise SystemExit(
+                    "--mode brute does not serve a partially re-indexed "
+                    "job's segment chain; use --mode bmw or merge first"
+                )
+            seg_dirs = chain
+    if seg_dirs is None:
+        args.index = resolve_index(args.index, args.analyzer)
 
     if args.cores:
         spark = get_spark("query", cores=args.cores)
@@ -38,7 +55,11 @@ def main() -> None:
 
         spark = SparkSession.builder.appName("query").getOrCreate()
 
-    if args.mode == "bmw":
+    if seg_dirs is not None:
+        from solr_indexing_spark.indexing.incremental import topk_segments
+
+        result = topk_segments(spark, seg_dirs, args.query, k=args.k)
+    elif args.mode == "bmw":
         from solr_indexing_spark.query.bmw import topk
 
         result = topk(spark, args.index, args.query, k=args.k)
@@ -54,7 +75,10 @@ def main() -> None:
 
     from pyspark.sql import functions as F
 
-    docs = spark.read.parquet(f"{args.index}/docs").select("doc_id", "url")
+    doc_sources = seg_dirs if seg_dirs is not None else [args.index]
+    docs = spark.read.parquet(
+        *[f"{d}/docs" for d in doc_sources]
+    ).select("doc_id", "url")
     rows = (
         result.join(docs, "doc_id")
         .orderBy(F.desc("score"), F.asc("doc_id"))

@@ -98,6 +98,45 @@ def reindex_changed(
     )
 
 
+def reindex_changed_multi(
+    spark: SparkSession,
+    seg_dirs: list[str],
+    changed_pages: DataFrame,
+    delta_dir: str,
+    **build_kwargs,
+) -> dict:
+    """``reindex_changed`` over a segment CHAIN (base + earlier deltas):
+    a url updated twice must tombstone its doc in whichever segment
+    currently holds it — including a previous delta — or the old version
+    keeps serving next to the new one. The new delta's doc ids continue
+    past the chain's maximum (disjoint ranges are the merge invariant).
+    """
+    mans = [read_manifest(d) for d in seg_dirs]
+    if len({m["num_buckets"] for m in mans}) != 1 or len(
+        {m.get("analyzer", "default") for m in mans}
+    ) != 1:
+        raise ValueError("segments disagree on num_buckets/analyzer")
+    changed_urls = changed_pages.select("url").distinct()
+    for d in seg_dirs:
+        dead = (
+            spark.read.parquet(f"{d}/docs")
+            .join(F.broadcast(changed_urls), "url", "left_semi")
+            .select("doc_id", "doclen")
+        )
+        append_tombstones(spark, d, dead)
+
+    build_kwargs.setdefault("num_buckets", mans[0]["num_buckets"])
+    build_kwargs.setdefault("block_size", mans[0].get("block_size", 128))
+    build_kwargs.setdefault("analyzer", mans[0].get("analyzer", "default"))
+    return build_index(
+        spark,
+        changed_pages,
+        delta_dir,
+        base_doc_id=max(m["doc_id_hi"] for m in mans) + 1,
+        **build_kwargs,
+    )
+
+
 def topk_segments(
     spark: SparkSession,
     seg_dirs: list[str],

@@ -204,6 +204,104 @@ def run_ingest(
     return job
 
 
+def job_segments(out_dir: str) -> list[str]:
+    """The job's live segment chain (base + deltas, build order)."""
+    import glob as _glob
+
+    deltas = sorted(_glob.glob(f"{out_dir}/index_delta*"))
+    return [f"{out_dir}/index"] + [
+        d for d in deltas if os.path.exists(f"{d}/_manifest.json")
+    ]
+
+
+def run_ingest_partial(
+    spark: SparkSession,
+    packed_changed: DataFrame,
+    doctype: str,
+    out_dir: str,
+    *,
+    templateid: str = "",
+    side_files_root: str | None = None,
+) -> dict:
+    """The reference's *PartialIndex job shape (CaseLawsPartialIndex,
+    solrIndexCreation.ts:2957-3192): re-index only changed/new documents
+    against an existing ingest job.
+
+    Changed packed rows go through the SAME composed pipeline; docs they
+    supersede are tombstoned in whichever segment of the chain holds
+    them (base or an earlier delta); the new versions land in a fresh
+    delta segment with doc ids continuing past the chain's maximum.
+    Serving before the next merge is ``topk_segments`` over the chain
+    (``indexing.incremental``); ``merge_segments`` compacts back to one.
+
+    Completions merge ADDITIVELY (max weight per input): a superseded
+    document's old suggest entries persist until a full rebuild — the
+    reference's suggester dictionary behaves the same way between
+    rebuilds. Partial mode targets single-variant jobs; dual jobs merge
+    per-variant segment chains, which is a full-rebuild operation here.
+    """
+    job_path = f"{out_dir}/_job_manifest.json"
+    with open(job_path) as fh:
+        job = json.load(fh)
+    if job.get("doctype") != doctype:
+        raise ValueError(
+            f"job at {out_dir} is doctype {job.get('doctype')!r}, "
+            f"got {doctype!r}"
+        )
+    if job.get("dual"):
+        raise ValueError(
+            "partial re-index of a dual job is not supported — rebuild "
+            "with run_ingest(dual=True) or run partial per variant"
+        )
+    from .indexing.incremental import reindex_changed_multi
+
+    doc = compose(
+        packed_changed, doctype, templateid=templateid,
+        side_files_root=side_files_root,
+    )
+    pages = doc.select(
+        F.col("id").alias("url"), F.col("fullcontent").alias("html")
+    )
+    segments = job_segments(out_dir)
+    delta_dir = f"{out_dir}/index_delta{len(segments):04d}"
+    man = reindex_changed_multi(spark, segments, pages, delta_dir)
+
+    sugg = suggest_entries(doc)
+    comp_dir = f"{out_dir}/completion"
+    n_completion = job.get("completion_entries", 0)
+    if sugg is not None:
+        import shutil
+
+        sugg = sugg.withColumn("display", F.col("input"))
+        if os.path.exists(f"{comp_dir}/_completion_manifest.json") or (
+            os.path.exists(comp_dir) and os.listdir(comp_dir)
+        ):
+            old = spark.read.parquet(comp_dir).select(
+                "input", "weight", "display"
+            )
+            merged = old.unionByName(sugg.select("input", "weight", "display"))
+        else:
+            merged = sugg
+        tmp = f"{comp_dir}.tmp"
+        build_completion_index(merged, tmp)
+        if os.path.exists(comp_dir):
+            shutil.rmtree(comp_dir)
+        os.replace(tmp, comp_dir)
+        n_completion = spark.read.parquet(comp_dir).count()
+
+    job["segments"] = [os.path.basename(s) for s in segments] + [
+        os.path.basename(delta_dir)
+    ]
+    job["n_docs"] = job.get("n_docs", 0) + man["n_docs"]
+    job["completion_entries"] = n_completion
+    job.setdefault("manifests", {})[os.path.basename(delta_dir)] = man
+    tmp = f"{job_path}.tmp"
+    with open(tmp, "w") as fh:
+        json.dump(job, fh, indent=1)
+    os.replace(tmp, job_path)
+    return job
+
+
 def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser(
         description="packed doctype table → BM25 index + completions"
@@ -213,6 +311,10 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--out", required=True, help="output directory")
     ap.add_argument("--dual", action="store_true",
                     help="also build the stopword-analyzer segment")
+    ap.add_argument("--partial", action="store_true",
+                    help="re-index only the input's (changed/new) rows "
+                         "against the existing job at --out (the "
+                         "reference's *PartialIndex path)")
     ap.add_argument("--positions", action="store_true",
                     help="store positional payloads (phrase queries)")
     ap.add_argument("--templateid", default="")
@@ -229,11 +331,17 @@ def main(argv: list[str] | None = None) -> None:
         f"ingest-{args.doctype}", cores=args.cores or None
     )
     packed = spark.read.parquet(args.input)
-    job = run_ingest(
-        spark, packed, args.doctype, args.out, dual=args.dual,
-        store_positions=args.positions, templateid=args.templateid,
-        side_files_root=args.sidefiles, num_buckets=args.buckets,
-    )
+    if args.partial:
+        job = run_ingest_partial(
+            spark, packed, args.doctype, args.out,
+            templateid=args.templateid, side_files_root=args.sidefiles,
+        )
+    else:
+        job = run_ingest(
+            spark, packed, args.doctype, args.out, dual=args.dual,
+            store_positions=args.positions, templateid=args.templateid,
+            side_files_root=args.sidefiles, num_buckets=args.buckets,
+        )
     print(json.dumps(job, indent=1))
     spark.stop()
 

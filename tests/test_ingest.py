@@ -167,3 +167,68 @@ def test_positional_ingest_serves_phrase_queries(spark, tmp_path):
     hits = phrase_topk(spark, seg, "zq7 appears", k=5).collect()
     assert [h["doc_id"] for h in hits] and len(hits) == 1
     assert phrase_topk(spark, seg, "appears zq7", k=5).collect() == []
+
+
+def test_partial_ingest_updates_and_serves_chain(spark, tmp_path):
+    """The reference's *PartialIndex path through the job layout
+    (CaseLawsPartialIndex, ts:2957-3192): changed docs are tombstoned
+    wherever they live (base OR an earlier delta), new versions land in
+    fresh delta segments, topk_segments serves the chain, and
+    completions merge additively."""
+    from pyspark.sql import functions as F
+
+    from solr_indexing_spark.indexing.incremental import topk_segments
+    from solr_indexing_spark.ingest import job_segments, run_ingest_partial
+    from solr_indexing_spark.query.completion import complete_dir
+
+    out = str(tmp_path / "pjob")
+    run_ingest(spark, _packed(spark, n=30), "case_laws", out, templateid="T")
+
+    def packed_update(ids, tag):
+        base = _packed(spark, n=30)
+        upd = base.filter(
+            F.col("id").isin([f"M{i}" for i in ids])
+        ).withColumn(
+            "fullcontent",
+            F.concat(
+                F.lit(f"<document><p>{tag} updated body for "),
+                F.col("id"),
+                F.lit("</p></document>"),
+            ),
+        ).withColumn(
+            "HeadingSubheading",
+            F.concat(F.lit(f"{tag} topic|"), F.col("id")),
+        )
+        return upd
+
+    # partial 1: update docs 3 and 7
+    job = run_ingest_partial(
+        spark, packed_update([3, 7], "vtwo"), "case_laws", out,
+        templateid="T",
+    )
+    segs = job_segments(out)
+    assert [s.rsplit("/", 1)[-1] for s in segs] == ["index", "index_delta0001"]
+    assert job["segments"] == ["index", "index_delta0001"]
+
+    # the OLD content of doc 3 is gone, the new content serves
+    assert topk_segments(spark, segs, "zq3", k=5).collect() == []
+    hits = topk_segments(spark, segs, "vtwo", k=5).collect()
+    assert len(hits) == 2
+    # unchanged docs still serve
+    assert len(topk_segments(spark, segs, "zq5", k=5).collect()) == 1
+
+    # partial 2: update doc 3 AGAIN — its delta-1 doc must be tombstoned
+    run_ingest_partial(
+        spark, packed_update([3], "vthree"), "case_laws", out,
+        templateid="T",
+    )
+    segs = job_segments(out)
+    assert len(segs) == 3
+    vt = topk_segments(spark, segs, "vthree", k=5).collect()
+    assert len(vt) == 1
+    # only doc 7's v2 remains for the vtwo token
+    assert len(topk_segments(spark, segs, "vtwo", k=5).collect()) == 1
+
+    # completions merged additively: old and new suggest entries coexist
+    assert complete_dir(spark, f"{out}/completion", "vtwo topic", k=5).count() > 0
+    assert complete_dir(spark, f"{out}/completion", "topic 5", k=5).count() > 0
