@@ -261,18 +261,49 @@ def _bm25_brute(spark, sf_dir, query_terms: list[str], k: int):
     )
 
 
+def _boost_table(spark, sf_dir):
+    """Deterministic per-document static prior — the stand-in for the
+    reference's documenttypeboost / boostpopularity columns
+    (solrIndexCreation.ts:824,2722-2731): small, derived from the doc
+    table, broadcast into the rescoring join."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        ((F.col("doc_id") % 5) * F.lit(0.25)).alias("boost"),
+    )
+
+
 def _ft_bm25_multi(spark, sf_dir):
-    """Brute-force DataFrame BM25 over the full fixed query set. The
-    single-query probe (r02 ``ft_bm25_topk``) was folded in — query 1 IS
-    that query, and ``ft_bm25_bmw`` still checks it end-to-end against the
-    same SQL oracle through the compressed-segment path."""
+    """Brute-force DataFrame BM25 over the full fixed query set, plus the
+    BOOSTED mode (mode='boosted'): ``topk_boosted`` — pure-BM25 over-fetch
+    window (100) rescored with an additive per-doc static prior, the
+    reference's query-time boost composition OUTSIDE BM25 (SURVEY §7.4).
+    The single-query probe (r02 ``ft_bm25_topk``) was folded in — query 1
+    IS that query, and ``ft_bm25_bmw`` still checks it end-to-end against
+    the same SQL oracle through the compressed-segment path."""
+    from solr_indexing_spark.query.bmw import topk_boosted
+
     out = None
     for qid, q in FT_QUERIES.items():
         part = _bm25_brute(spark, sf_dir, q.split(), 5).withColumn(
             "query_id", F.lit(qid)
         )
         out = part if out is None else out.unionByName(part)
-    return out.select("query_id", "doc_id", "score")
+    out = out.withColumn("mode", F.lit("plain"))
+    idx = _index_dir(spark, sf_dir)
+    boosted = (
+        topk_boosted(
+            spark, idx, FT_QUERY, _boost_table(spark, sf_dir), k=5
+        )
+        .select(
+            F.lit(1).alias("query_id"),
+            "doc_id",
+            F.round("score", 4).alias("score"),
+        )
+        .withColumn("mode", F.lit("boosted"))
+    )
+    return out.unionByName(boosted).select(
+        "query_id", "mode", "doc_id", "score"
+    )
 
 
 FT_PHRASE = "hash join"
@@ -1867,9 +1898,38 @@ def oracle_sql() -> dict[str, str]:
     qm = "'[\\p{L}\\p{N}\\p{M}]+'"
     terms_in = ", ".join(f"'{t}'" for t in FT_TERMS)
     multi = "\nunion all\n".join(
-        f"select {qid} as query_id, doc_id, score from ({_bm25_sql(q.split(), 5)})"
+        f"select {qid} as query_id, 'plain' as mode, doc_id, score "
+        f"from ({_bm25_sql(q.split(), 5)})"
         for qid, q in FT_QUERIES.items()
     )
+    # boosted mode: pure-BM25 over-fetch window (top 100, unrounded),
+    # additive prior (doc_id % 5) * 0.25, re-rank, top 5 — mirrors
+    # query/bmw.py topk_boosted exactly
+    boost_vals = ", ".join(f"('{t}')" for t in sorted(set(FT_QUERY.split())))
+    multi += f"""
+union all
+select query_id, mode, doc_id, score from (
+  select 1 as query_id, 'boosted' as mode, doc_id,
+         round(base + (doc_id % 5) * 0.25::double, 4) as score
+  from (
+    with toks as ({_TOKS}),
+    dl as (select doc_id, count(*) as doclen from toks group by doc_id),
+    stats as (select count(*) as n, avg(doclen) as avgdl from dl),
+    q(term) as (values {boost_vals}),
+    tf as (select t.term, t.doc_id, count(*) as tf
+           from toks t join q using(term) group by 1, 2),
+    df as (select term, count(*) as df from tf group by 1),
+    w as (select tf.doc_id,
+                 ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                 * tf.tf * 2.2
+                 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.doclen / s.avgdl)) as w
+          from tf join df using(term) join dl using(doc_id) cross join stats s)
+    select doc_id, sum(w) as base from w group by doc_id
+    order by sum(w) desc, doc_id asc limit 100
+  )
+  order by base + (doc_id % 5) * 0.25::double desc, doc_id asc limit 5
+)
+"""
     simhash_votes = ", ".join(
         f"sum(case when (h & {1 << b}) != 0 then tf else -tf end) as v{b}"
         for b in range(16)

@@ -229,6 +229,38 @@ def main() -> None:
 
     timed("q_pipeline_batch13", _batch13)
 
+    # --- pre-merge chain serving (SegmentsSession): a base+delta chain's
+    # warm p50 should sit ≈ the single-segment p50 — the session computes
+    # the union dead set + tombstone stats once per segment generation,
+    # so per-query work is the same pruned BMW job (round-4 item; the
+    # round-3 path paid segments × QPS tombstone-stat Spark jobs).
+    # Runs LAST among idx consumers: it tombstones 200 docs in idx.
+    from solr_indexing_spark.indexing.incremental import (
+        SegmentsSession,
+        reindex_changed,
+    )
+
+    chg = docs.orderBy("doc_id").limit(200).select(
+        F.format_string("doc://%010d", F.col("doc_id")).alias("url"),
+        F.concat(F.lit("chainupdated "), F.col("text")).alias("text"),
+        "lang",
+    )
+    timed(
+        "q_chain_delta_build",
+        lambda: reindex_changed(spark, idx, chg, f"{work}/idx_delta"),
+    )
+    sess = SegmentsSession(spark, [idx, f"{work}/idx_delta"])
+    sess.topk(queries[0], k=10).collect()  # warm
+    lat_chain = []
+    t0 = time.monotonic()
+    for q in queries:
+        tq = time.monotonic()
+        sess.topk(q, k=10).collect()
+        lat_chain.append(time.monotonic() - tq)
+    timings["q_bm25_chain"] = round(time.monotonic() - t0, 3)
+    chain_p50_ms = round(statistics.median(lat_chain) * 1000, 1)
+    sess.close()
+
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -245,6 +277,7 @@ def main() -> None:
                 "synth_corpus_n": synth_n,
                 "docs_per_sec_synth": synth_docs_per_sec,
                 "bm25_p50_ms": p50_ms,
+                "bm25_chain_p50_ms": chain_p50_ms,
                 "dual_build_vs_two_builds_ratio": dual_vs_two_builds,
                 "pipeline_batch_n": len(batch_names),
             }

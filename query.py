@@ -32,12 +32,14 @@ def main() -> None:
     from solr_indexing_spark.session import get_spark
 
     # a partially re-indexed job serves a segment CHAIN (base + deltas,
-    # combined stats + union tombstones) until the next merge compacts it
+    # combined stats + union tombstones) until the next merge compacts it —
+    # per analyzer variant (the reference's IndexName / IndexNameStopword)
     seg_dirs: list[str] | None = None
-    if os.path.exists(f"{args.index}/_job_manifest.json") and (
-        args.analyzer in (None, "default")
-    ):
-        chain = job_segments(args.index)
+    if os.path.exists(f"{args.index}/_job_manifest.json"):
+        variant = (
+            "index_stopword" if args.analyzer == "stopword" else "index"
+        )
+        chain = job_segments(args.index, variant)
         if len(chain) > 1:
             if args.mode != "bmw":
                 raise SystemExit(
@@ -64,21 +66,23 @@ def main() -> None:
 
         result = topk(spark, args.index, args.query, k=args.k)
     else:
-        from solr_indexing_spark.indexing.build import read_manifest
+        from solr_indexing_spark.indexing.build import read_docs, read_manifest
         from solr_indexing_spark.query.brute import bm25_topk
 
         man = read_manifest(args.index)
-        docs = spark.read.parquet(f"{args.index}/docs")
+        docs = read_docs(spark, args.index, man)
         result = bm25_topk(
             docs, args.query, k=args.k, n_docs=man["n_docs"], avgdl=man["avgdl"]
         )
 
     from pyspark.sql import functions as F
 
+    from solr_indexing_spark.indexing.build import read_docs as _read_docs
+
     doc_sources = seg_dirs if seg_dirs is not None else [args.index]
-    docs = spark.read.parquet(
-        *[f"{d}/docs" for d in doc_sources]
-    ).select("doc_id", "url")
+    docs = _read_docs(spark, doc_sources[0]).select("doc_id", "url")
+    for d in doc_sources[1:]:
+        docs = docs.unionByName(_read_docs(spark, d).select("doc_id", "url"))
     rows = (
         result.join(docs, "doc_id")
         .orderBy(F.desc("score"), F.asc("doc_id"))

@@ -89,10 +89,26 @@ def load_side_files(
     df = spark.read.format("binaryFile").option(
         "pathGlobFilter", pattern
     ).load(root)
-    prefix = root.rstrip("/") + "/"
+    # Derive relpath by POSITION, not regex: probe one loaded path for the
+    # scheme/prefix form Spark actually produced (file:/…, hdfs://…, …).
+    # A regex anchored on "^file:/*" breaks on roots containing regex
+    # metacharacters and on non-local URIs — every join then misses and the
+    # code silently takes the file-missing branch.
+    probe = df.select("path").limit(1).collect()
+    if probe:
+        marker = root.rstrip("/") + "/"
+        cut = probe[0]["path"].find(marker)
+        if cut < 0:
+            raise ValueError(
+                f"side-file path {probe[0]['path']!r} does not contain the "
+                f"load root {marker!r} — cannot derive relative join keys"
+            )
+        strip_len = cut + len(marker)
+    else:
+        strip_len = 0  # empty corpus: relpath never consulted
     return df.select(
-        F.regexp_replace(
-            F.col("path"), r"^file:/*" + prefix.lstrip("/"), ""
+        F.col("path").substr(
+            F.lit(strip_len + 1), F.length("path")
         ).alias("relpath"),
         (
             decode_cp1252(F.col("content"))

@@ -634,6 +634,7 @@ def build_index_dual(
     base_doc_id: int = 0,
     verify_extraction: bool = False,
     store_positions: bool = False,
+    shared_docs: bool = False,
 ) -> tuple[dict, dict]:
     """Single-pass dual-analyzer build (SURVEY §4.1 row 6): the reference
     posts every document batch to BOTH the ``IndexName`` and
@@ -661,9 +662,17 @@ def build_index_dual(
     Each output segment is fully standard — same layout + manifest as a
     ``build_index(analyzer=...)`` twin, interchangeable for query/merge
     (tests/test_dualbuild.py pins dictionary/stats/topk equality against
-    independently built twins). The docs TEXT is still written twice:
-    each segment is self-contained, matching the reference's choice of
-    storing every document in both collections.
+    independently built twins). By default the docs TEXT is written twice
+    (each segment self-contained, matching the reference's choice of
+    storing every document in both collections); with ``shared_docs=True``
+    it is written ONCE, into the default segment with BOTH doclen columns,
+    and the stopword manifest carries a ``docs_ref`` pointer +
+    ``docs_doclen_col`` that every docs consumer resolves via
+    :func:`read_docs` — the variants differ only in doclen, so this halves
+    doc-text storage and one full parquet write at corpus scale with no
+    query-path change. Trade-off: the stopword segment is no longer
+    self-contained (don't relocate it without its sibling); a merge
+    re-materializes standalone docs.
     """
     t_start = time.monotonic()
     os.makedirs(out_dir, exist_ok=True)
@@ -712,29 +721,51 @@ def build_index_dual(
         t_d0 = time.monotonic()
         from concurrent.futures import ThreadPoolExecutor
 
+        # each write times itself inside its closure: the two jobs run
+        # concurrently, so per-variant walls overlap and their sum exceeds
+        # the combined wall — report all three rather than attributing the
+        # combined wall to one variant
+        write_walls: dict[str, float] = {}
+
         def _write_docs_default():
-            base.select(
-                "doc_id", "url", "text", *lang_cols, "doclen", "_pid",
-                "_tbytes",
-            ).write.mode("overwrite").parquet(f"{out_dir}/docs")
+            t = time.monotonic()
+            # shared mode keeps doclen_stop in the one table — the
+            # stopword variant's resolver renames it to doclen on read
+            cols = ["doc_id", "url", "text", *lang_cols, "doclen"]
+            if shared_docs:
+                cols.append("doclen_stop")
+            base.select(*cols, "_pid", "_tbytes").write.mode(
+                "overwrite"
+            ).parquet(f"{out_dir}/docs")
+            write_walls["docs_write_default"] = round(time.monotonic() - t, 2)
 
         def _write_docs_stop():
+            t = time.monotonic()
             base.select(
                 "doc_id", "url", "text", *lang_cols,
                 F.col("doclen_stop").alias("doclen"), "_pid", "_tbytes",
             ).write.mode("overwrite").parquet(f"{out_dir_stop}/docs")
+            write_walls["docs_write_stopword"] = round(time.monotonic() - t, 2)
 
         with ThreadPoolExecutor(2) as pool:
-            for f in [
-                pool.submit(_write_docs_default), pool.submit(_write_docs_stop)
-            ]:
+            writes = [pool.submit(_write_docs_default)]
+            if not shared_docs:
+                writes.append(pool.submit(_write_docs_stop))
+            for f in writes:
                 f.result()
-        t_d1 = t_d2 = time.monotonic()
+        write_walls["docs_write_combined"] = round(time.monotonic() - t_d0, 2)
         docs_wall = time.monotonic() - t_start
         if docids_cache is not None:
             docids_cache.unpersist()
         docs_r = spark.read.parquet(f"{out_dir}/docs")
-        docs_r_stop = spark.read.parquet(f"{out_dir_stop}/docs")
+        if shared_docs:
+            docs_r_stop = (
+                docs_r.drop("doclen")
+                .withColumnRenamed("doclen_stop", "doclen")
+            )
+            docs_r = docs_r.drop("doclen_stop")
+        else:
+            docs_r_stop = spark.read.parquet(f"{out_dir_stop}/docs")
 
         with ThreadPoolExecutor(2) as pool:
             fa = pool.submit(
@@ -866,16 +897,23 @@ def build_index_dual(
                 avgdl=avgdl, total_tokens=total_tokens, analyzer="default",
                 **common,
             )
+            stop_extra = None
+            if shared_docs:
+                stop_extra = {
+                    "docs_ref": os.path.join(
+                        os.path.relpath(out_dir, out_dir_stop), "docs"
+                    ),
+                    "docs_doclen_col": "doclen_stop",
+                }
             fb = pool.submit(
                 _finalize_segment, spark, out_dir_stop, docs_lineage=lin_b,
                 avgdl=avgdl_stop, total_tokens=total_tokens_stop,
-                analyzer="stopword", **common,
+                analyzer="stopword", extra_manifest=stop_extra, **common,
             )
             man_a, man_b = fa.result(), fb.result()
         # stage walls for the shared pipeline (diagnosis + bench evidence)
         man_a["dual_stage_walls_s"] = man_b["dual_stage_walls_s"] = {
-            "docs_write_default": round(t_d1 - t_d0, 2),
-            "docs_write_stopword": round(t_d2 - t_d1, 2),
+            **write_walls,
             "postings_dual": round(t_b1 - t_b0, 2),
         }
         return man_a, man_b
@@ -1127,6 +1165,7 @@ def _finalize_segment(
     store_positions: bool,
     t_start: float,
     docs_wall: float,
+    extra_manifest: dict | None = None,
 ) -> dict:
     """Dictionary + lineage + stats + atomic manifest from a segment's
     written postings. Shared by the single-analyzer build and each side
@@ -1207,12 +1246,37 @@ def _finalize_segment(
         "positions": bool(store_positions),
         "build_wall_s": round(time.monotonic() - t_start, 3),
         "docs_stage_wall_s": round(docs_wall, 3),
+        **(extra_manifest or {}),
     }
     tmp = f"{out_dir}/_manifest.json.tmp"
     with open(tmp, "w") as fh:
         json.dump(manifest, fh, indent=1)
     os.replace(tmp, f"{out_dir}/_manifest.json")
     return manifest
+
+
+def read_docs(spark: SparkSession, index_dir: str, man: dict | None = None):
+    """The segment's docs table, resolving the shared-docs manifest pointer.
+
+    A ``build_index_dual(shared_docs=True)`` stopword segment stores no
+    docs parquet of its own: its manifest carries ``docs_ref`` (a relative
+    path to the sibling default segment's docs, which holds BOTH doclen
+    columns) and ``docs_doclen_col`` (which column is this variant's
+    doclen). Every docs consumer (query url join, brute scorer,
+    tombstoning, merge) goes through here so both layouts read
+    identically: (doc_id, url, text, …, doclen)."""
+    man = man if man is not None else read_manifest(index_dir)
+    ref = man.get("docs_ref")
+    path = (
+        os.path.normpath(os.path.join(index_dir, ref))
+        if ref
+        else f"{index_dir}/docs"
+    )
+    df = spark.read.parquet(path)
+    col = man.get("docs_doclen_col", "doclen")
+    if col != "doclen":
+        df = df.drop("doclen").withColumnRenamed(col, "doclen")
+    return df
 
 
 def read_manifest(index_dir: str) -> dict:

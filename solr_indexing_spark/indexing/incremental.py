@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..query.bmw import _topk_impl, load_tombstones, union_dead
-from .build import build_index, read_manifest
+from .build import build_index, read_docs, read_manifest
 
 
 def append_tombstones(
@@ -79,23 +79,32 @@ def reindex_changed(
     tombstones are harmless).
     """
     man = read_manifest(base_dir)
-    base_docs = spark.read.parquet(f"{base_dir}/docs")
-    changed_urls = changed_pages.select("url").distinct()
-    dead = base_docs.join(F.broadcast(changed_urls), "url", "left_semi").select(
-        "doc_id", "doclen"
-    )
-    append_tombstones(spark, base_dir, dead)
-
     build_kwargs.setdefault("num_buckets", man["num_buckets"])
     build_kwargs.setdefault("block_size", man.get("block_size", 128))
     build_kwargs.setdefault("analyzer", man.get("analyzer", "default"))
-    return build_index(
+    # a delta of a positional base must store positions too, or phrase
+    # queries lose the updated docs and merge_segments rejects the chain
+    build_kwargs.setdefault("store_positions", man.get("positions", False))
+    # delta FIRST, tombstones after: the delta only becomes visible at its
+    # atomic _manifest.json commit, so a crash mid-way leaves the old docs
+    # serving intact (never tombstoned-with-no-replacement). The window
+    # between delta commit and tombstone append serves both versions —
+    # transient duplicates beat silently lost documents, and a retry
+    # re-tombstones idempotently.
+    delta_man = build_index(
         spark,
         changed_pages,
         delta_dir,
         base_doc_id=man["doc_id_hi"] + 1,
         **build_kwargs,
     )
+    base_docs = read_docs(spark, base_dir, man)
+    changed_urls = changed_pages.select("url").distinct()
+    dead = base_docs.join(F.broadcast(changed_urls), "url", "left_semi").select(
+        "doc_id", "doclen"
+    )
+    delta_man["n_superseded"] = append_tombstones(spark, base_dir, dead)
+    return delta_man
 
 
 def reindex_changed_multi(
@@ -112,85 +121,118 @@ def reindex_changed_multi(
     past the chain's maximum (disjoint ranges are the merge invariant).
     """
     mans = [read_manifest(d) for d in seg_dirs]
-    if len({m["num_buckets"] for m in mans}) != 1 or len(
-        {m.get("analyzer", "default") for m in mans}
-    ) != 1:
-        raise ValueError("segments disagree on num_buckets/analyzer")
-    changed_urls = changed_pages.select("url").distinct()
-    for d in seg_dirs:
-        dead = (
-            spark.read.parquet(f"{d}/docs")
-            .join(F.broadcast(changed_urls), "url", "left_semi")
-            .select("doc_id", "doclen")
+    if (
+        len({m["num_buckets"] for m in mans}) != 1
+        or len({m.get("analyzer", "default") for m in mans}) != 1
+        or len({bool(m.get("positions", False)) for m in mans}) != 1
+    ):
+        raise ValueError(
+            "segments disagree on num_buckets/analyzer/positions"
         )
-        append_tombstones(spark, d, dead)
-
     build_kwargs.setdefault("num_buckets", mans[0]["num_buckets"])
     build_kwargs.setdefault("block_size", mans[0].get("block_size", 128))
     build_kwargs.setdefault("analyzer", mans[0].get("analyzer", "default"))
-    return build_index(
+    build_kwargs.setdefault(
+        "store_positions", mans[0].get("positions", False)
+    )
+    # delta first, tombstones after — see reindex_changed for the crash
+    # semantics (old docs keep serving if the build dies; transient
+    # duplicates during the tombstone pass; retries self-heal)
+    delta_man = build_index(
         spark,
         changed_pages,
         delta_dir,
         base_doc_id=max(m["doc_id_hi"] for m in mans) + 1,
         **build_kwargs,
     )
+    changed_urls = changed_pages.select("url").distinct()
+    n_superseded = 0
+    for d, m in zip(seg_dirs, mans):
+        dead = (
+            read_docs(spark, d, m)
+            .join(F.broadcast(changed_urls), "url", "left_semi")
+            .select("doc_id", "doclen")
+        )
+        n_superseded += append_tombstones(spark, d, dead)
+    delta_man["n_superseded"] = n_superseded
+    return delta_man
 
 
-def topk_segments(
-    spark: SparkSession,
-    seg_dirs: list[str],
-    query: str,
-    k: int = 10,
-    shard_range: int = 1 << 17,
-    dead=None,
-) -> DataFrame:
-    """BM25 top-k across several segments (pre-merge serving path).
+def _segment_tombstone_state(
+    spark: SparkSession, seg_dir: str
+) -> tuple[object, int, int]:
+    """ONE read of a segment's tombstones → (dead membership, n_dead,
+    dead_tokens). Replaces the previous two independent reads (membership
+    via load_tombstones + a per-query stats agg): stats and membership are
+    both per-segment-GENERATION constants — tombstones only change when a
+    partial re-index appends — so chain serving computes them once and
+    reuses them for every query (see :class:`SegmentsSession`)."""
+    import os
 
-    Statistics are combined across segments: N and avgdl from live docs,
-    df summed from the union dictionary. Tombstoned docs are excluded from
-    results; their residual contribution to df (until the next merge
-    compacts them) matches standard segmented-index behavior.
+    from .. import TOMBSTONE_BROADCAST_THRESHOLD
+    from ..query.bmw import TombstoneFrame
 
-    ``dead``: optional precomputed dead set (the return of
-    ``union_dead(spark, [load_tombstones(spark, d) for d in seg_dirs])``).
-    High-QPS pre-merge serving should compute it once per segment
-    generation and pass it in — per-query recomputation re-reads the
-    tombstone parquet and, on the large-churn path, re-creates Spark
-    resources each call that are only reclaimed by the ContextCleaner.
-    """
-    mans = [read_manifest(d) for d in seg_dirs]
+    if not os.path.exists(f"{seg_dir}/tombstones"):
+        return frozenset(), 0, 0
+    # distinct by doc_id: append_tombstones already dedups, but stats must
+    # stay correct even against pre-guard tombstone files (duplicates would
+    # drift idf / go negative under churn)
+    dd = (
+        spark.read.parquet(f"{seg_dir}/tombstones")
+        .dropDuplicates(["doc_id"])
+        .persist()
+    )
+    try:
+        row = dd.agg(
+            F.count("*").alias("n"), F.sum("doclen").alias("tok")
+        ).collect()[0]
+        n = int(row["n"] or 0)
+        tok = int(row["tok"] or 0)
+        if n == 0:
+            return frozenset(), 0, 0
+        if n <= TOMBSTONE_BROADCAST_THRESHOLD:
+            return (
+                frozenset(r["doc_id"] for r in dd.select("doc_id").collect()),
+                n,
+                tok,
+            )
+        # large churn: rows stay executor-side (re-read from parquet on
+        # use — the persist below is released; TombstoneFrame wraps a
+        # fresh scan so the session never pins O(churn) cache)
+        return (
+            TombstoneFrame(
+                spark.read.parquet(f"{seg_dir}/tombstones")
+                .select("doc_id")
+                .distinct()
+            ),
+            n,
+            tok,
+        )
+    finally:
+        dd.unpersist()
+
+
+def _chain_state(spark: SparkSession, seg_dirs: list[str], mans: list[dict]):
+    """Shared chain assembly: validated combined manifest (live n_docs /
+    avgdl), union dictionary, union postings, union dead set. Tombstone
+    parquet is read once per segment, here."""
     num_buckets = {m["num_buckets"] for m in mans}
     analyzers = {m.get("analyzer", "default") for m in mans}
     if len(num_buckets) != 1 or len(analyzers) != 1:
         raise ValueError("segments disagree on num_buckets/analyzer")
 
-    if dead is None:
-        dead = union_dead(
-            spark, [load_tombstones(spark, d) for d in seg_dirs]
-        )
-    # live-doc stats: tombstones carry doclen, so the correction is exact
-    n_total = sum(m["n_docs"] for m in mans)
-    tok_total = sum(m["n_docs"] * m["avgdl"] for m in mans)
-    dead_tok = 0
+    deads, n_dead, dead_tok = [], 0, 0
     for d in seg_dirs:
-        import os
+        dset, n, tok = _segment_tombstone_state(spark, d)
+        deads.append(dset)
+        n_dead += n
+        dead_tok += tok
+    dead = union_dead(spark, deads)
 
-        if os.path.exists(f"{d}/tombstones"):
-            # distinct by doc_id: append_tombstones already dedups, but
-            # stats must stay correct even against pre-guard tombstone
-            # files (duplicates would drift idf / go negative under churn)
-            row = (
-                spark.read.parquet(f"{d}/tombstones")
-                .dropDuplicates(["doc_id"])
-                .agg(F.count("*").alias("n"), F.sum("doclen").alias("tok"))
-                .collect()[0]
-            )
-            n_total -= int(row["n"] or 0)
-            dead_tok += int(row["tok"] or 0)
-    n_total = max(n_total, 0)
-    avgdl = (tok_total - dead_tok) / n_total if n_total > 0 else 1.0
-
+    # live-doc stats: tombstones carry doclen, so the correction is exact
+    n_total = max(sum(m["n_docs"] for m in mans) - n_dead, 0)
+    tok_total = sum(m["n_docs"] * m["avgdl"] for m in mans) - dead_tok
+    avgdl = tok_total / n_total if n_total > 0 else 1.0
     man = {
         "num_buckets": num_buckets.pop(),
         "n_docs": n_total,
@@ -213,6 +255,158 @@ def topk_segments(
         F.max("max_tf_norm").alias("max_tf_norm"),
     )
     postings = _union([spark.read.parquet(f"{d}/postings") for d in seg_dirs])
+    return man, dictionary, postings, dead
+
+
+class SegmentsSession:
+    """Warm serving handle over a segment CHAIN (base + deltas) — the
+    multi-segment twin of :class:`..query.bmw.QuerySession`, and the
+    posture every partially-updated index lives in until the next merge
+    (the reference between *PartialIndex runs and full rebuilds,
+    solrIndexCreation.ts:2957-3192).
+
+    Everything that is constant per segment GENERATION is computed once at
+    open: the union dead set, the (n_dead, dead_tokens) statistics
+    correction, the combined manifest, the union dictionary (persisted in
+    executor memory), and the union postings plan. Per-query work is then
+    one dictionary-lookup job for cache-miss terms plus the pruned BMW job
+    — no tombstone parquet read, no per-segment stats agg (previously
+    segments × QPS Spark jobs for values that only change when tombstones
+    are appended). Re-open the session after a partial re-index or merge
+    (the chain's segment set / tombstones changed).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        seg_dirs: list[str],
+        cache_dictionary: bool = True,
+        cache_postings: bool = False,
+    ):
+        self.spark = spark
+        self.seg_dirs = list(seg_dirs)
+        self.mans = [read_manifest(d) for d in self.seg_dirs]
+        self.man, self.dictionary, self.postings, self.dead = _chain_state(
+            spark, self.seg_dirs, self.mans
+        )
+        # driver-side (idf, upper-bound) cache, negative entries included —
+        # valid for the session's lifetime (segments + tombstone stats are
+        # frozen at open). Same bound as QuerySession's.
+        self._term_meta: dict = {}
+        if cache_dictionary:
+            self.dictionary = self.dictionary.persist()
+        if cache_postings:
+            self.postings = self.postings.persist()
+
+    def topk(
+        self, query: str, k: int = 10, shard_range: int = 1 << 17
+    ) -> DataFrame:
+        return _topk_impl(
+            self.spark, self.man, self.dictionary, self.postings, query, k,
+            shard_range, dead=self.dead, meta_cache=self._term_meta,
+        )
+
+    def close(self) -> None:
+        from ..query.bmw import BroadcastDeadSet
+
+        self.dictionary.unpersist()
+        self.postings.unpersist()
+        if isinstance(self.dead, BroadcastDeadSet):
+            self.dead.release()
+
+
+def reindex_changed_dual(
+    spark: SparkSession,
+    seg_dirs: list[str],
+    seg_dirs_stop: list[str],
+    changed_pages: DataFrame,
+    delta_dir: str,
+    delta_dir_stop: str,
+) -> tuple[dict, dict]:
+    """``reindex_changed_multi`` over a DUAL job's two variant chains —
+    the reference's partial path bulk-posts per variant by ``indexType``
+    (IndexName / IndexNameStopword, solrIndexCreation.ts:3180-3184).
+
+    The two deltas are built by ONE single-pass dual build (one scan /
+    tokenize / exchange, build_index_dual), so the variants' doc ids stay
+    aligned — the same property the base build guarantees. Tombstoning
+    then runs per variant chain (same urls, each chain's own docs).
+    Delta-first ordering as in :func:`reindex_changed`."""
+    from .build import build_index_dual
+
+    mans = [read_manifest(d) for d in seg_dirs]
+    mans_stop = [read_manifest(d) for d in seg_dirs_stop]
+    for ms, want in ((mans, "default"), (mans_stop, "stopword")):
+        if (
+            len({m["num_buckets"] for m in ms}) != 1
+            or {m.get("analyzer", "default") for m in ms} != {want}
+            or len({bool(m.get("positions", False)) for m in ms}) != 1
+        ):
+            raise ValueError(
+                f"{want} chain disagrees on num_buckets/analyzer/positions"
+            )
+    if bool(mans[0].get("positions", False)) != bool(
+        mans_stop[0].get("positions", False)
+    ):
+        raise ValueError("variant chains disagree on positions")
+
+    base_doc_id = (
+        max(m["doc_id_hi"] for m in mans + mans_stop) + 1
+    )
+    man_a, man_b = build_index_dual(
+        spark,
+        changed_pages,
+        delta_dir,
+        delta_dir_stop,
+        num_buckets=mans[0]["num_buckets"],
+        block_size=mans[0].get("block_size", 128),
+        base_doc_id=base_doc_id,
+        store_positions=mans[0].get("positions", False),
+    )
+    changed_urls = changed_pages.select("url").distinct()
+    for dirs, ms, man in (
+        (seg_dirs, mans, man_a), (seg_dirs_stop, mans_stop, man_b)
+    ):
+        n_superseded = 0
+        for d, m in zip(dirs, ms):
+            dead = (
+                read_docs(spark, d, m)
+                .join(F.broadcast(changed_urls), "url", "left_semi")
+                .select("doc_id", "doclen")
+            )
+            n_superseded += append_tombstones(spark, d, dead)
+        man["n_superseded"] = n_superseded
+    return man_a, man_b
+
+
+def topk_segments(
+    spark: SparkSession,
+    seg_dirs: list[str],
+    query: str,
+    k: int = 10,
+    shard_range: int = 1 << 17,
+    dead=None,
+) -> DataFrame:
+    """BM25 top-k across several segments (pre-merge serving path),
+    one-shot. A server issuing repeated queries should hold a
+    :class:`SegmentsSession` instead — it computes the union dead set and
+    the tombstone statistics correction once per segment generation.
+
+    Statistics are combined across segments: N and avgdl from live docs,
+    df summed from the union dictionary. Tombstoned docs are excluded from
+    results; their residual contribution to df (until the next merge
+    compacts them) matches standard segmented-index behavior.
+
+    ``dead``: optional precomputed dead set (e.g. a prior
+    ``union_dead(spark, [load_tombstones(spark, d) for d in seg_dirs])``)
+    — membership only; the statistics correction is still exact because it
+    comes from the per-segment tombstone aggregates, recomputed here.
+    """
+    mans = [read_manifest(d) for d in seg_dirs]
+    man, dictionary, postings, chain_dead = _chain_state(
+        spark, seg_dirs, mans
+    )
     return _topk_impl(
-        spark, man, dictionary, postings, query, k, shard_range, dead=dead
+        spark, man, dictionary, postings, query, k, shard_range,
+        dead=dead if dead is not None else chain_dead,
     )

@@ -43,6 +43,7 @@ from ..codec import delta_decode, vbyte_decode, vbyte_encode
 from .build import (
     FORMAT_VERSION,
     POSTINGS_SCHEMA,
+    read_docs,
     read_manifest,
     tf_norm,
     _term_bucket_py,
@@ -336,7 +337,15 @@ def merge_segments(
     dead_ids: np.ndarray | None = None
     tomb = None
     n_dead = 0
-    docs = spark.read.parquet(*[f"{d}/docs" for d in seg_dirs])
+    # per-segment docs via the manifest resolver (a shared-docs dual
+    # stopword segment has no docs parquet of its own), canonicalized to
+    # the column set every input carries — the merged segment is always
+    # self-contained and variant-independent
+    frames = [read_docs(spark, d, m) for d, m in zip(seg_dirs, manifests)]
+    common = [c for c in frames[0].columns if all(c in f.columns for f in frames)]
+    docs = frames[0].select(*common)
+    for f in frames[1:]:
+        docs = docs.unionByName(f.select(*common))
     if tomb_dirs:
         tomb = (
             spark.read.parquet(*[f"{d}/tombstones" for d in tomb_dirs])

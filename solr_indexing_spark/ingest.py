@@ -117,13 +117,16 @@ def resolve_index(path: str, analyzer: str | None = None) -> str:
 
 
 def suggest_entries(doc: DataFrame) -> DataFrame | None:
-    """Flatten ``Suggest[]`` → (input, weight) completion rows; None for
-    doctypes without suggesters."""
+    """Flatten ``Suggest[]`` → (url, input, weight) completion rows; None
+    for doctypes without suggesters. ``url`` (the composed doc id) is the
+    provenance key that lets compaction drop a superseded document's stale
+    suggest entries (see ``run_ingest_compact``)."""
     if "Suggest" not in doc.columns:
         return None
     return (
-        doc.select(F.explode("Suggest").alias("s"))
+        doc.select(F.col("id").alias("url"), F.explode("Suggest").alias("s"))
         .select(
+            "url",
             F.explode("s.Input").alias("input"),
             F.col("s.Weight").alias("weight"),
         )
@@ -139,6 +142,7 @@ def run_ingest(
     *,
     dual: bool = False,
     store_positions: bool = False,
+    shared_docs: bool = False,
     templateid: str = "",
     side_files_root: str | None = None,
     num_buckets: int = 16,
@@ -170,7 +174,7 @@ def run_ingest(
         man_a, man_b = build_index_dual(
             spark, pages, f"{out_dir}/index", f"{out_dir}/index_stopword",
             num_buckets=num_buckets, base_doc_id=base_doc_id,
-            store_positions=store_positions,
+            store_positions=store_positions, shared_docs=shared_docs,
         )
         manifests = {"index": man_a, "index_stopword": man_b}
     else:
@@ -185,6 +189,12 @@ def run_ingest(
     n_completion = 0
     if sugg is not None:
         build_completion_index(sugg, f"{out_dir}/completion")
+        # provenance rows (url, input, weight, display, gen): the append-only
+        # side table compaction rebuilds completions from — per-url, the
+        # highest generation's entries are the live ones
+        sugg.withColumn("display", F.col("input")).withColumn(
+            "gen", F.lit(0)
+        ).write.mode("overwrite").parquet(f"{out_dir}/suggest_rows")
         n_completion = (
             spark.read.parquet(f"{out_dir}/completion").count()
         )
@@ -204,13 +214,46 @@ def run_ingest(
     return job
 
 
-def job_segments(out_dir: str) -> list[str]:
-    """The job's live segment chain (base + deltas, build order)."""
+def _swap_dir(new_dir: str, dest: str) -> None:
+    """Swap ``new_dir`` into place at ``dest`` with a minimal crash window:
+    rename-old → rename-new → delete-old. The old tree is never deleted
+    before the new one is in place (a crash leaves either the old dir
+    serving, or both ``dest`` and a ``.old`` leftover — never neither, which
+    the previous rmtree-then-replace ordering allowed)."""
+    import shutil
+
+    old = f"{dest}.old"
+    shutil.rmtree(old, ignore_errors=True)  # leftover from a prior crash
+    if os.path.exists(dest):
+        os.replace(dest, old)
+    os.replace(new_dir, dest)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def job_segments(out_dir: str, variant: str = "index") -> list[str]:
+    """The job's live segment chain for one analyzer variant (base +
+    deltas, build order). ``variant``: ``index`` (default analyzer) or
+    ``index_stopword``.
+
+    Deltas already folded into the base by a compaction are excluded via
+    the base manifest's ``merged_from`` list — this is the compaction
+    commit point: the instant the merged segment is renamed onto the base,
+    the old deltas stop being part of the chain, whether or not their
+    directories have been cleaned up yet (crash-safe; see
+    ``run_ingest_compact``)."""
     import glob as _glob
 
-    deltas = sorted(_glob.glob(f"{out_dir}/index_delta*"))
-    return [f"{out_dir}/index"] + [
-        d for d in deltas if os.path.exists(f"{d}/_manifest.json")
+    base = f"{out_dir}/{variant}"
+    deltas = sorted(_glob.glob(f"{out_dir}/{variant}_delta*"))
+    merged_from: set[str] = set()
+    if deltas and os.path.exists(f"{base}/_manifest.json"):
+        with open(f"{base}/_manifest.json") as fh:
+            merged_from = set(json.load(fh).get("merged_from", []))
+    return [base] + [
+        d
+        for d in deltas
+        if os.path.exists(f"{d}/_manifest.json")
+        and os.path.basename(d) not in merged_from
     ]
 
 
@@ -234,11 +277,16 @@ def run_ingest_partial(
     Serving before the next merge is ``topk_segments`` over the chain
     (``indexing.incremental``); ``merge_segments`` compacts back to one.
 
-    Completions merge ADDITIVELY (max weight per input): a superseded
-    document's old suggest entries persist until a full rebuild — the
-    reference's suggester dictionary behaves the same way between
-    rebuilds. Partial mode targets single-variant jobs; dual jobs merge
-    per-variant segment chains, which is a full-rebuild operation here.
+    Completions: the delta's suggest entries become their OWN small
+    completion segment (``completion_delta####``), and the provenance rows
+    append to ``suggest_rows`` — partial wall is therefore independent of
+    the accumulated completion-table size. Serving unions the tables
+    (``complete_job``); a superseded document's old entries persist until
+    ``run_ingest_compact`` rebuilds from the latest generation per url —
+    the reference's suggester dictionary behaves the same way between
+    rebuilds. Dual jobs update BOTH variant chains via one single-pass
+    dual delta build (the reference's partial path posts per variant by
+    ``indexType``, solrIndexCreation.ts:3180-3184).
     """
     job_path = f"{out_dir}/_job_manifest.json"
     with open(job_path) as fh:
@@ -248,13 +296,6 @@ def run_ingest_partial(
             f"job at {out_dir} is doctype {job.get('doctype')!r}, "
             f"got {doctype!r}"
         )
-    if job.get("dual"):
-        raise ValueError(
-            "partial re-index of a dual job is not supported — rebuild "
-            "with run_ingest(dual=True) or run partial per variant"
-        )
-    from .indexing.incremental import reindex_changed_multi
-
     doc = compose(
         packed_changed, doctype, templateid=templateid,
         side_files_root=side_files_root,
@@ -262,39 +303,196 @@ def run_ingest_partial(
     pages = doc.select(
         F.col("id").alias("url"), F.col("fullcontent").alias("html")
     )
-    segments = job_segments(out_dir)
-    delta_dir = f"{out_dir}/index_delta{len(segments):04d}"
-    man = reindex_changed_multi(spark, segments, pages, delta_dir)
+
+    gen = _next_delta_gen(out_dir)
+    if job.get("dual"):
+        from .indexing.incremental import reindex_changed_dual
+
+        segs = job_segments(out_dir, "index")
+        segs_stop = job_segments(out_dir, "index_stopword")
+        delta = f"{out_dir}/index_delta{gen:04d}"
+        delta_stop = f"{out_dir}/index_stopword_delta{gen:04d}"
+        man, man_stop = reindex_changed_dual(
+            spark, segs, segs_stop, pages, delta, delta_stop
+        )
+        new_mans = {
+            os.path.basename(delta): man,
+            os.path.basename(delta_stop): man_stop,
+        }
+        job["segments"] = [
+            os.path.basename(s) for s in segs + [delta]
+        ]
+        job["segments_stopword"] = [
+            os.path.basename(s) for s in segs_stop + [delta_stop]
+        ]
+    else:
+        from .indexing.incremental import reindex_changed_multi
+
+        segs = job_segments(out_dir, "index")
+        delta = f"{out_dir}/index_delta{gen:04d}"
+        man = reindex_changed_multi(spark, segs, pages, delta)
+        new_mans = {os.path.basename(delta): man}
+        job["segments"] = [os.path.basename(s) for s in segs + [delta]]
 
     sugg = suggest_entries(doc)
-    comp_dir = f"{out_dir}/completion"
-    n_completion = job.get("completion_entries", 0)
     if sugg is not None:
-        import shutil
+        comp_delta = f"{out_dir}/completion_delta{gen:04d}"
+        build_completion_index(sugg, comp_delta)
+        sugg.withColumn("display", F.col("input")).withColumn(
+            "gen", F.lit(gen)
+        ).write.mode("append").parquet(f"{out_dir}/suggest_rows")
+        # upper bound until compaction recomputes exactly: entries shared
+        # between tables are double-counted here, never lost
+        job["completion_entries"] = job.get("completion_entries", 0) + (
+            spark.read.parquet(comp_delta).count()
+        )
 
-        sugg = sugg.withColumn("display", F.col("input"))
-        if os.path.exists(f"{comp_dir}/_completion_manifest.json") or (
-            os.path.exists(comp_dir) and os.listdir(comp_dir)
-        ):
-            old = spark.read.parquet(comp_dir).select(
-                "input", "weight", "display"
+    # live count: superseded docs are tombstoned, so they no longer serve —
+    # n_docs must agree with the live-doc stats topk_segments computes
+    job["n_docs"] = (
+        job.get("n_docs", 0) + man["n_docs"] - man.get("n_superseded", 0)
+    )
+    job.setdefault("manifests", {}).update(new_mans)
+    tmp = f"{job_path}.tmp"
+    with open(tmp, "w") as fh:
+        json.dump(job, fh, indent=1)
+    os.replace(tmp, job_path)
+    return job
+
+
+def _next_delta_gen(out_dir: str) -> int:
+    """Next unused delta generation number, scanning ALL delta-like dirs
+    (committed or not, both variants, compacted-away or live) so a crashed
+    or compacted run never gets its directory name reused."""
+    import glob as _glob
+    import re
+
+    gens = [0]
+    for d in _glob.glob(f"{out_dir}/*_delta*"):
+        m = re.search(r"_delta(\d+)$", d)
+        if m:
+            gens.append(int(m.group(1)))
+    return max(gens) + 1
+
+
+def completion_tables(out_dir: str) -> list[str]:
+    """The job's live completion tables: base + per-delta segments not yet
+    folded in by a compaction (compaction deletes the deltas it absorbed,
+    after the base swap)."""
+    import glob as _glob
+
+    base = f"{out_dir}/completion"
+    out = [base] if os.path.exists(f"{base}/_completion_manifest.json") else []
+    return out + sorted(
+        d
+        for d in _glob.glob(f"{out_dir}/completion_delta*")
+        if os.path.exists(f"{d}/_completion_manifest.json")
+    )
+
+
+def complete_job(
+    spark: SparkSession, out_dir: str, prefix: str, k: int = 10
+) -> DataFrame:
+    """Weighted prefix completion over an ingest job: union of the base
+    completion table and the partial runs' delta tables, max weight per
+    input (heaviest spelling wins) — the pre-compaction serving path,
+    mirroring how topk_segments serves the postings chain."""
+    from .query.completion import complete
+
+    tables = completion_tables(out_dir)
+    if not tables:
+        raise ValueError(f"ingest job at {out_dir} has no completion table")
+    src = spark.read.parquet(tables[0]).select("input", "weight", "display")
+    for t in tables[1:]:
+        src = src.unionByName(
+            spark.read.parquet(t).select("input", "weight", "display")
+        )
+    return complete(src, prefix, k)
+
+
+def run_ingest_compact(spark: SparkSession, out_dir: str) -> dict:
+    """Compact a partially re-indexed job back to one segment per variant
+    and one completion table — the between-rebuilds maintenance the
+    reference delegates to Solr's segment merging.
+
+    Per variant chain: ``merge_segments`` (deltas + tombstones → one
+    segment, dead postings dropped, stats recomputed from live docs).
+    Completions: rebuilt from ``suggest_rows`` keeping only each url's
+    LATEST generation — this drops superseded documents' stale entries,
+    which the additive pre-compaction serving keeps (documented drift).
+
+    Crash safety: all merge outputs are staged under ``_compact_*`` names
+    first (invisible to ``job_segments``); the commit point per variant is
+    the atomic base-dir swap — from that instant the absorbed deltas are
+    excluded from the chain via the merged manifest's ``merged_from`` list,
+    so delta-dir deletion afterwards is pure cleanup. A crash at any point
+    leaves a correct serving chain (old chain before the swap, merged
+    segment after)."""
+    import shutil
+
+    from .indexing.merge import merge_segments
+
+    job_path = f"{out_dir}/_job_manifest.json"
+    with open(job_path) as fh:
+        job = json.load(fh)
+    variants = ["index", "index_stopword"] if job.get("dual") else ["index"]
+
+    # stage every merge before swapping anything: a shared-docs stopword
+    # base resolves its docs pointer into the default base, which must
+    # still exist while the stopword chain merges
+    staged: dict[str, tuple[str, list[str], dict]] = {}
+    for v in variants:
+        chain = job_segments(out_dir, v)
+        stage = f"{out_dir}/_compact_{v}"
+        shutil.rmtree(stage, ignore_errors=True)
+        man = merge_segments(spark, chain, stage)
+        staged[v] = (stage, chain, man)
+
+    comp_stage = None
+    sugg_stage = None
+    n_completion = job.get("completion_entries", 0)
+    if os.path.exists(f"{out_dir}/suggest_rows"):
+        from pyspark.sql import Window
+
+        rows = spark.read.parquet(f"{out_dir}/suggest_rows")
+        live = (
+            rows.withColumn(
+                "_mx", F.max("gen").over(Window.partitionBy("url"))
             )
-            merged = old.unionByName(sugg.select("input", "weight", "display"))
-        else:
-            merged = sugg
-        tmp = f"{comp_dir}.tmp"
-        build_completion_index(merged, tmp)
-        if os.path.exists(comp_dir):
-            shutil.rmtree(comp_dir)
-        os.replace(tmp, comp_dir)
-        n_completion = spark.read.parquet(comp_dir).count()
+            .filter(F.col("gen") == F.col("_mx"))
+            .drop("_mx")
+        )
+        comp_stage = f"{out_dir}/_compact_completion"
+        shutil.rmtree(comp_stage, ignore_errors=True)
+        build_completion_index(
+            live.select("input", "weight", "display"), comp_stage
+        )
+        sugg_stage = f"{out_dir}/_compact_suggest_rows"
+        live.withColumn("gen", F.lit(0)).write.mode("overwrite").parquet(
+            sugg_stage
+        )
+        n_completion = spark.read.parquet(comp_stage).count()
 
-    job["segments"] = [os.path.basename(s) for s in segments] + [
-        os.path.basename(delta_dir)
-    ]
-    job["n_docs"] = job.get("n_docs", 0) + man["n_docs"]
+    # commit: per-variant atomic base swap, then cleanup
+    for v in variants:
+        stage, chain, _ = staged[v]
+        _swap_dir(stage, f"{out_dir}/{v}")
+        for d in chain[1:]:
+            shutil.rmtree(d, ignore_errors=True)
+    if comp_stage is not None:
+        _swap_dir(comp_stage, f"{out_dir}/completion")
+        _swap_dir(sugg_stage, f"{out_dir}/suggest_rows")
+        import glob as _glob
+
+        for d in _glob.glob(f"{out_dir}/completion_delta*"):
+            shutil.rmtree(d, ignore_errors=True)
+
+    job["n_docs"] = staged["index"][2]["n_docs"]
+    job["segments"] = ["index"]
+    if job.get("dual"):
+        job["segments_stopword"] = ["index_stopword"]
     job["completion_entries"] = n_completion
-    job.setdefault("manifests", {})[os.path.basename(delta_dir)] = man
+    job["manifests"] = {v: staged[v][2] for v in variants}
     tmp = f"{job_path}.tmp"
     with open(tmp, "w") as fh:
         json.dump(job, fh, indent=1)
@@ -306,15 +504,22 @@ def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser(
         description="packed doctype table → BM25 index + completions"
     )
-    ap.add_argument("--doctype", required=True, choices=sorted(PIPELINES))
-    ap.add_argument("--input", required=True, help="packed parquet path")
+    ap.add_argument("--doctype", default=None, choices=sorted(PIPELINES))
+    ap.add_argument("--input", default=None, help="packed parquet path")
     ap.add_argument("--out", required=True, help="output directory")
     ap.add_argument("--dual", action="store_true",
                     help="also build the stopword-analyzer segment")
+    ap.add_argument("--shared-docs", action="store_true",
+                    help="with --dual: store the doc text once (stopword "
+                         "segment resolves it via a manifest pointer)")
     ap.add_argument("--partial", action="store_true",
                     help="re-index only the input's (changed/new) rows "
                          "against the existing job at --out (the "
                          "reference's *PartialIndex path)")
+    ap.add_argument("--compact", action="store_true",
+                    help="merge the job's segment chain(s) back to one "
+                         "segment per variant and rebuild completions "
+                         "from live documents (no --input needed)")
     ap.add_argument("--positions", action="store_true",
                     help="store positional payloads (phrase queries)")
     ap.add_argument("--templateid", default="")
@@ -326,6 +531,16 @@ def main(argv: list[str] | None = None) -> None:
     args = ap.parse_args(argv)
 
     from .session import get_spark
+
+    if args.compact:
+        if args.partial or args.input or args.doctype:
+            ap.error("--compact takes only --out (and --cores)")
+        spark = get_spark("ingest-compact", cores=args.cores or None)
+        print(json.dumps(run_ingest_compact(spark, args.out), indent=1))
+        spark.stop()
+        return
+    if not args.input or not args.doctype:
+        ap.error("--input and --doctype are required unless --compact")
 
     spark = get_spark(
         f"ingest-{args.doctype}", cores=args.cores or None
@@ -339,7 +554,8 @@ def main(argv: list[str] | None = None) -> None:
     else:
         job = run_ingest(
             spark, packed, args.doctype, args.out, dual=args.dual,
-            store_positions=args.positions, templateid=args.templateid,
+            store_positions=args.positions, shared_docs=args.shared_docs,
+            templateid=args.templateid,
             side_files_root=args.sidefiles, num_buckets=args.buckets,
         )
     print(json.dumps(job, indent=1))

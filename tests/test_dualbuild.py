@@ -164,3 +164,80 @@ def test_salted_dual_matches_unsalted(spark, tmp_path):
     assert _rows(spark, f"{tmp}/SB", "dictionary", cols) == _rows(
         spark, f"{tmp}/UB", "dictionary", cols
     )
+
+
+def test_shared_docs_dual_equals_self_contained(spark, tmp_path):
+    """``shared_docs=True``: the doc text is stored ONCE (in the default
+    segment, with both doclen columns); the stopword segment resolves docs
+    via its manifest pointer and is otherwise indistinguishable from the
+    self-contained build (docs rows, dictionary, stats, top-k); a merge
+    re-materializes standalone docs."""
+    import os
+
+    from solr_indexing_spark.indexing.build import read_docs
+    from solr_indexing_spark.indexing.merge import merge_segments
+
+    tmp = str(tmp_path)
+    path = _pages(spark, tmp, n=180, seed=5)
+    kw = dict(num_buckets=4, salt_df_threshold=10**9)
+    build_index_dual(
+        spark, spark.read.parquet(path), f"{tmp}/A", f"{tmp}/B",
+        shared_docs=True, **kw,
+    )
+    build_index_dual(
+        spark, spark.read.parquet(path), f"{tmp}/CA", f"{tmp}/CB", **kw
+    )
+
+    # the stopword segment stores no docs parquet of its own
+    assert not os.path.exists(f"{tmp}/B/docs")
+    man_b = read_manifest(f"{tmp}/B")
+    assert man_b["docs_ref"] and man_b["docs_doclen_col"] == "doclen_stop"
+
+    cols = ["doc_id", "url", "doclen"]
+    resolved = sorted(
+        map(tuple, read_docs(spark, f"{tmp}/B").select(*cols).collect())
+    )
+    assert resolved == _rows(spark, f"{tmp}/CB", "docs", cols)
+    assert _rows(spark, f"{tmp}/A", "docs", cols) == _rows(
+        spark, f"{tmp}/CA", "docs", cols
+    )
+
+    dcols = ["term", "bucket", "df", "cf", "n_blocks", "max_tf_norm"]
+    assert _rows(spark, f"{tmp}/B", "dictionary", dcols) == _rows(
+        spark, f"{tmp}/CB", "dictionary", dcols
+    )
+    man_cb = read_manifest(f"{tmp}/CB")
+    assert man_b["n_docs"] == man_cb["n_docs"]
+    assert abs(man_b["avgdl"] - man_cb["avgdl"]) < 1e-9
+
+    for q in ("quick fox", "war and stone", "the lazy dog"):
+        got = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in topk(spark, f"{tmp}/B", q, k=10).collect()
+        ]
+        want = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in topk(spark, f"{tmp}/CB", q, k=10).collect()
+        ]
+        assert got == want
+
+    # merging the pointer-resolved segment yields a self-contained one
+    merge_segments(spark, [f"{tmp}/B"], f"{tmp}/BM")
+    assert os.path.exists(f"{tmp}/BM/docs")
+    assert "docs_ref" not in read_manifest(f"{tmp}/BM")
+    merged_docs = sorted(
+        map(
+            tuple,
+            spark.read.parquet(f"{tmp}/BM/docs").select(*cols).collect(),
+        )
+    )
+    assert merged_docs == resolved
+    got = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in topk(spark, f"{tmp}/BM", "quick fox", k=10).collect()
+    ]
+    want = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in topk(spark, f"{tmp}/CB", "quick fox", k=10).collect()
+    ]
+    assert got == want and got

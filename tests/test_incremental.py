@@ -149,6 +149,81 @@ def test_merge_compacts_tombstones(spark, base, tmp_path_factory):
         }, f"query {q!r}"
 
 
+def test_segments_session_warm_serving(spark, base, monkeypatch):
+    """SegmentsSession computes the dead set + tombstone stats once at
+    open: queries through the session NEVER re-read tombstone parquet
+    (previously segments × QPS Spark jobs), and results are identical to
+    the one-shot topk_segments path."""
+    from pyspark.sql.readwriter import DataFrameReader
+
+    from solr_indexing_spark.indexing.incremental import SegmentsSession
+
+    root, _ = base
+    segs = [str(root / "seg0"), str(root / "seg_chg")]
+    expected = {
+        q: [(r["doc_id"], round(r["score"], 9))
+            for r in topk_segments(spark, segs, q, k=10).collect()]
+        for q in QUERIES
+    }
+    sess = SegmentsSession(spark, segs)
+    try:
+        paths: list[str] = []
+        orig = DataFrameReader.parquet
+
+        def spy(self, *p, **kw):
+            paths.extend(p)
+            return orig(self, *p, **kw)
+
+        monkeypatch.setattr(DataFrameReader, "parquet", spy)
+        got = {
+            q: [(r["doc_id"], round(r["score"], 9))
+                for r in sess.topk(q, k=10).collect()]
+            for q in QUERIES
+        }
+        # warm repeat: term-meta cache hits, still identical
+        got2 = {
+            q: [(r["doc_id"], round(r["score"], 9))
+                for r in sess.topk(q, k=10).collect()]
+            for q in QUERIES
+        }
+        monkeypatch.undo()
+        assert got == expected and got2 == expected
+        tomb_reads = [p for p in paths if "tombstones" in p]
+        assert not tomb_reads, (
+            f"session queries re-read tombstones: {tomb_reads}"
+        )
+    finally:
+        sess.close()
+
+
+def test_failed_delta_build_never_tombstones(spark, tmp_path):
+    """Crash ordering (round-3 ADVICE): the delta builds BEFORE tombstones
+    are appended, so a failing delta build leaves the base fully serving —
+    superseded docs are never dead without a committed replacement."""
+    import os
+
+    from solr_indexing_spark.synth import gen_pages, write_pandas_pages
+
+    root = tmp_path
+    pdf = gen_pages(50, seed=21)
+    write_pandas_pages(pdf, str(root / "p.parquet"))
+    base_dir = str(root / "seg0")
+    build_index(
+        spark, spark.read.parquet(str(root / "p.parquet")), base_dir,
+        num_buckets=4,
+    )
+    bad_pages = spark.createDataFrame(
+        [(pdf["url"].iloc[0],)], "url string"
+    )  # no text/html column: the delta build fails at plan time
+    with pytest.raises(Exception):
+        reindex_changed(spark, base_dir, bad_pages, str(root / "segd"))
+    assert not os.path.exists(f"{base_dir}/tombstones")
+    assert not os.path.exists(f"{root}/segd/_manifest.json")
+    # base still serves the would-be-superseded doc
+    salt = pdf["text"].iloc[0].split()[-1]
+    assert topk(spark, base_dir, salt, k=3).collect()
+
+
 def test_duplicate_tombstones_do_not_drift_stats(spark, tmp_path_factory):
     """A url updated twice (or a replayed batch) must not re-append the
     same tombstone and skew live-doc stats (round-1 ADVICE bug): scores

@@ -169,6 +169,29 @@ def test_positional_ingest_serves_phrase_queries(spark, tmp_path):
     assert phrase_topk(spark, seg, "appears zq7", k=5).collect() == []
 
 
+def _packed_update(spark, ids, tag, n=30):
+    """Changed/new packed rows for a partial run: same urls (ids), new
+    body carrying ``tag`` and a new HeadingSubheading suggest input."""
+    base = _packed(spark, n=n)
+    return base.filter(
+        F.col("id").isin([f"M{i}" for i in ids])
+    ).withColumn(
+        "fullcontent",
+        F.concat(
+            F.lit(f"<document><p>{tag} updated body for "),
+            F.col("id"),
+            F.lit("</p></document>"),
+        ),
+    ).withColumn(
+        # A-part unique per doc: "{tag} topic M<i>|M<i>" — compaction tests
+        # need an entry that only the superseded version carried
+        "HeadingSubheading",
+        F.concat(
+            F.lit(f"{tag} topic "), F.col("id"), F.lit("|"), F.col("id")
+        ),
+    )
+
+
 def test_partial_ingest_updates_and_serves_chain(spark, tmp_path):
     """The reference's *PartialIndex path through the job layout
     (CaseLawsPartialIndex, ts:2957-3192): changed docs are tombstoned
@@ -229,6 +252,242 @@ def test_partial_ingest_updates_and_serves_chain(spark, tmp_path):
     # only doc 7's v2 remains for the vtwo token
     assert len(topk_segments(spark, segs, "vtwo", k=5).collect()) == 1
 
-    # completions merged additively: old and new suggest entries coexist
-    assert complete_dir(spark, f"{out}/completion", "vtwo topic", k=5).count() > 0
-    assert complete_dir(spark, f"{out}/completion", "topic 5", k=5).count() > 0
+    # completions serve additively across base + delta tables (old and new
+    # suggest entries coexist until compaction); the base table itself is
+    # untouched by partial runs — deltas are their own small segments
+    from solr_indexing_spark.ingest import complete_job, completion_tables
+
+    assert complete_job(spark, out, "vtwo topic", k=5).count() > 0
+    assert complete_job(spark, out, "topic 5", k=5).count() > 0
+    tables = completion_tables(out)
+    assert [t.rsplit("/", 1)[-1] for t in tables] == [
+        "completion", "completion_delta0001", "completion_delta0002"
+    ]
+    assert complete_dir(spark, f"{out}/completion", "vtwo topic", k=5).count() == 0
+
+
+def test_dual_partial_updates_both_variant_chains(spark, tmp_path):
+    """Partial re-index of a DUAL job (the round-3 refusal, now the
+    reference's per-variant shape, ts:3180-3184): one single-pass dual
+    delta build updates BOTH chains; doc ids stay aligned across variants;
+    each chain serves the new content and drops the old."""
+    from solr_indexing_spark.indexing.incremental import topk_segments
+    from solr_indexing_spark.ingest import job_segments, run_ingest_partial
+
+    out = str(tmp_path / "djob")
+    run_ingest(
+        spark, _packed(spark, n=30), "case_laws", out, dual=True,
+        templateid="T",
+    )
+    job = run_ingest_partial(
+        spark, _packed_update(spark, [4, 11], "dvtwo"), "case_laws", out,
+        templateid="T",
+    )
+    assert job["segments"] == ["index", "index_delta0001"]
+    assert job["segments_stopword"] == [
+        "index_stopword", "index_stopword_delta0001"
+    ]
+
+    per_variant_hits = {}
+    for variant in ("index", "index_stopword"):
+        segs = job_segments(out, variant)
+        assert len(segs) == 2, variant
+        assert topk_segments(spark, segs, "zq4", k=5).collect() == [], variant
+        hits = topk_segments(spark, segs, "dvtwo", k=5).collect()
+        assert len(hits) == 2, variant
+        assert len(topk_segments(spark, segs, "zq5", k=5).collect()) == 1
+        per_variant_hits[variant] = sorted(r["doc_id"] for r in hits)
+    # single-pass dual delta: the variants assign identical doc ids
+    assert per_variant_hits["index"] == per_variant_hits["index_stopword"]
+    # analyzer semantics hold on the updated stopword chain
+    segs_stop = job_segments(out, "index_stopword")
+    assert topk_segments(spark, segs_stop, "the and of", k=5).collect() == []
+
+
+def test_partial_inherits_positions_and_compacts(spark, tmp_path):
+    """ADVICE fix: a partial over a --positions job builds a positional
+    delta (phrase queries see updated docs; the chain stays mergeable),
+    and --compact folds the chain back to one positional segment."""
+    from solr_indexing_spark.indexing.build import read_manifest
+    from solr_indexing_spark.ingest import run_ingest_compact, run_ingest_partial
+    from solr_indexing_spark.query.phrase import phrase_topk
+
+    out = str(tmp_path / "pposjob")
+    run_ingest(
+        spark, _packed(spark, n=15), "case_laws", out,
+        store_positions=True, templateid="T",
+    )
+    run_ingest_partial(
+        spark, _packed_update(spark, [2], "pvtwo", n=15), "case_laws", out,
+        templateid="T",
+    )
+    delta = f"{out}/index_delta0001"
+    assert read_manifest(delta)["positions"] is True
+    hits = phrase_topk(spark, delta, "pvtwo updated", k=5).collect()
+    assert len(hits) == 1
+    assert phrase_topk(spark, delta, "updated pvtwo", k=5).collect() == []
+
+    job = run_ingest_compact(spark, out)
+    assert job["segments"] == ["index"]
+    man = read_manifest(f"{out}/index")
+    assert man["positions"] is True and man["n_docs"] == 15
+    hits = phrase_topk(spark, f"{out}/index", "pvtwo updated", k=5).collect()
+    assert len(hits) == 1
+
+
+def test_compact_equals_fresh_build(spark, tmp_path):
+    """ingest → partial ×2 → compact ≡ a fresh full build of the final
+    corpus: identical top-k (by url, 1e-6 scores) and an identical
+    completion table — superseded documents' stale suggest entries are
+    gone after compaction (the additive pre-compaction drift is repaired)."""
+    import glob
+
+    from solr_indexing_spark.ingest import (
+        complete_job,
+        run_ingest_compact,
+        run_ingest_partial,
+    )
+
+    out = str(tmp_path / "cjob")
+    run_ingest(spark, _packed(spark, n=30), "case_laws", out, templateid="T")
+    run_ingest_partial(
+        spark, _packed_update(spark, [3, 7], "cvtwo"), "case_laws", out,
+        templateid="T",
+    )
+    run_ingest_partial(
+        spark, _packed_update(spark, [3, 9], "cvthree"), "case_laws", out,
+        templateid="T",
+    )
+    # pre-compaction: doc 3's SUPERSEDED suggest entry still serves
+    assert complete_job(spark, out, "cvtwo topic", k=20).count() > 0
+
+    job = run_ingest_compact(spark, out)
+    assert job["segments"] == ["index"] and job["n_docs"] == 30
+    assert not glob.glob(f"{out}/index_delta*")
+    assert not glob.glob(f"{out}/completion_delta*")
+    assert not os.path.exists(f"{out}/index/tombstones")
+
+    # fresh build over the final corpus (3 → cvthree, 7 → cvtwo, 9 → cvthree)
+    fresh = str(tmp_path / "fresh")
+    final = (
+        _packed(spark, n=30)
+        .filter(~F.col("id").isin(["M3", "M7", "M9"]))
+        .unionByName(_packed_update(spark, [7], "cvtwo"))
+        .unionByName(_packed_update(spark, [3, 9], "cvthree"))
+    )
+    run_ingest(spark, final, "case_laws", fresh, templateid="T")
+
+    def topk_urls(job_dir, q):
+        seg = f"{job_dir}/index"
+        urls = {
+            r["doc_id"]: r["url"]
+            for r in spark.read.parquet(f"{seg}/docs")
+            .select("doc_id", "url").collect()
+        }
+        return sorted(
+            (urls[r["doc_id"]], round(r["score"], 6))
+            for r in topk(spark, seg, q, k=10).collect()
+        )
+
+    for q in ("zq5", "cvtwo", "cvthree", "token", "updated body"):
+        assert topk_urls(out, q) == topk_urls(fresh, q), f"query {q!r}"
+
+    def comp_rows(job_dir):
+        return sorted(
+            (r["input"], r["weight"], r["display"])
+            for r in spark.read.parquet(f"{job_dir}/completion")
+            .select("input", "weight", "display").collect()
+        )
+
+    assert comp_rows(out) == comp_rows(fresh)
+    # the stale pre-compaction entry is gone; doc 3's live entry remains
+    assert complete_job(spark, out, "cvtwo topic m3", k=20).count() == 0
+    assert complete_job(spark, out, "cvthree topic m3", k=20).count() > 0
+    # doc 7's live cvtwo entry survives compaction
+    assert complete_job(spark, out, "cvtwo topic m7", k=20).count() > 0
+
+
+def test_partial_never_touches_base_completion(spark, tmp_path, monkeypatch):
+    """Delta completion segments: a partial run neither reads nor rewrites
+    the accumulated base completion table — its wall is independent of
+    completion-table size (the round-3 O(total-completions) rebuild is
+    gone)."""
+    from pyspark.sql.readwriter import DataFrameReader
+
+    from solr_indexing_spark.ingest import complete_job, run_ingest_partial
+
+    out = str(tmp_path / "bigcomp")
+    run_ingest(spark, _packed(spark, n=20), "case_laws", out, templateid="T")
+    comp = f"{out}/completion"
+    # inflate the base table 10×+ (appended rows: same schema, inert keys)
+    spark.range(5000).select(
+        F.concat(F.lit("zzzfill"), F.col("id").cast("string")).alias("input"),
+        F.lit(1).alias("weight"),
+        F.concat(F.lit("zzzfill"), F.col("id").cast("string")).alias("display"),
+    ).write.mode("append").parquet(comp)
+    files_before = sorted(os.listdir(comp))
+
+    paths: list[str] = []
+    orig = DataFrameReader.parquet
+
+    def spy(self, *p, **kw):
+        paths.extend(p)
+        return orig(self, *p, **kw)
+
+    monkeypatch.setattr(DataFrameReader, "parquet", spy)
+    run_ingest_partial(
+        spark, _packed_update(spark, [2], "bvtwo", n=20), "case_laws", out,
+        templateid="T",
+    )
+    monkeypatch.undo()
+
+    assert sorted(os.listdir(comp)) == files_before, "base table rewritten"
+    base_reads = [p for p in paths if p.rstrip("/").endswith("/completion")]
+    assert not base_reads, f"partial read the base completion table: {base_reads}"
+    # serving still unions base + delta
+    assert complete_job(spark, out, "bvtwo topic", k=5).count() > 0
+    assert complete_job(spark, out, "topic 5", k=5).count() > 0
+
+
+def test_shared_docs_dual_job_partial_and_compact(spark, tmp_path):
+    """A --dual --shared-docs job end-to-end: the stopword base resolves
+    its docs through the manifest pointer, a dual partial tombstones both
+    chains (pointer-resolved docs included), and compaction produces two
+    self-contained segments that serve correctly."""
+    from solr_indexing_spark.indexing.build import read_manifest
+    from solr_indexing_spark.indexing.incremental import topk_segments
+    from solr_indexing_spark.ingest import (
+        job_segments,
+        run_ingest_compact,
+        run_ingest_partial,
+    )
+
+    out = str(tmp_path / "sdjob")
+    run_ingest(
+        spark, _packed(spark, n=24), "case_laws", out, dual=True,
+        shared_docs=True, templateid="T",
+    )
+    assert not os.path.exists(f"{out}/index_stopword/docs")
+    assert read_manifest(f"{out}/index_stopword")["docs_ref"]
+
+    run_ingest_partial(
+        spark, _packed_update(spark, [5], "sdvtwo", n=24), "case_laws", out,
+        templateid="T",
+    )
+    for variant in ("index", "index_stopword"):
+        segs = job_segments(out, variant)
+        assert len(segs) == 2, variant
+        assert topk_segments(spark, segs, "zq5", k=5).collect() == [], variant
+        assert len(
+            topk_segments(spark, segs, "sdvtwo", k=5).collect()
+        ) == 1, variant
+
+    job = run_ingest_compact(spark, out)
+    assert job["n_docs"] == 24
+    for variant in ("index", "index_stopword"):
+        seg = f"{out}/{variant}"
+        assert os.path.exists(f"{seg}/docs"), "merge must re-materialize docs"
+        assert "docs_ref" not in read_manifest(seg)
+        assert topk(spark, seg, "zq5", k=5).collect() == []
+        assert len(topk(spark, seg, "sdvtwo", k=5).collect()) == 1
+        assert len(topk(spark, seg, "zq9", k=5).collect()) == 1

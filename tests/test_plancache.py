@@ -145,3 +145,55 @@ def test_decorator_routes_and_preserves_wrapped(spark):
     live = case_laws_document.__wrapped__(_packed(spark), templateid="T")
     assert out.schema == live.schema
     assert _rows(out) == _rows(live)
+
+
+def test_pyspark_upgrade_drill(spark, tmp_path, monkeypatch):
+    """Upgrade drill (the round-3 watch item): a pyspark version change
+    turns every blob into a miss — the miss path MUST rebuild live
+    (identical rows) and rewrite a blob under the new fingerprint, after
+    which hits resume. Keeps the private-API splice honest across
+    upgrades; tools/gen_plan_cache.py is the bulk form of the same
+    regeneration."""
+    import pyspark
+
+    cache_dir = str(tmp_path / "pc")
+    calls = []
+
+    def build(df):
+        calls.append(1)
+        return df.withColumn("y", F.col("x") + 1)
+
+    df = spark.range(5).select(F.col("id").alias("x"))
+    want = [(r["x"], r["y"]) for r in build(df).collect()]
+    calls.clear()
+
+    # populate + warm hit under the real version
+    a = plancache.cached_transform("drill", (), df, build, cache_dir=cache_dir)
+    assert [(r["x"], r["y"]) for r in a.collect()] == want
+    assert len(calls) == 1
+    blobs_v1 = set(os.listdir(cache_dir))
+    assert blobs_v1
+    b = plancache.cached_transform("drill", (), df, build, cache_dir=cache_dir)
+    assert [(r["x"], r["y"]) for r in b.collect()] == want
+    assert len(calls) == 1, "warm hit rebuilt live"
+
+    # simulate the upgrade: the fingerprint covers pyspark.__version__
+    try:
+        monkeypatch.setattr(pyspark, "__version__", "999.0.0")
+        plancache._source_digest.cache_clear()
+        c = plancache.cached_transform(
+            "drill", (), df, build, cache_dir=cache_dir
+        )
+        assert len(calls) == 2, "stale blob served across a version change"
+        assert [(r["x"], r["y"]) for r in c.collect()] == want
+        # the miss rewrote a blob under the new fingerprint…
+        assert set(os.listdir(cache_dir)) - blobs_v1
+        # …so the next call is a hit again
+        d = plancache.cached_transform(
+            "drill", (), df, build, cache_dir=cache_dir
+        )
+        assert len(calls) == 2
+        assert [(r["x"], r["y"]) for r in d.collect()] == want
+    finally:
+        monkeypatch.undo()
+        plancache._source_digest.cache_clear()

@@ -153,18 +153,37 @@ def main() -> None:
     }), flush=True)
 
     if do_merge:
+        from solr_indexing_spark.indexing.incremental import topk_segments
         from solr_indexing_spark.indexing.merge import merge_segments
+        from solr_indexing_spark.query.bmw import topk
         from solr_indexing_spark.session import get_spark
 
         spark = get_spark("scalemerge", cores=4 * cores,
                           shuffle_partitions=64)
         segs = [f"{work}/idx_4w_0_{i}" for i in range(4)]
         t0 = time.monotonic()
-        merge_segments(spark, segs, f"{work}/idx_merged")
+        man = merge_segments(spark, segs, f"{work}/idx_merged")
+        merge_wall = time.monotonic() - t0
+        # hierarchical-merge leg of the 10^12-doc story: the merged
+        # segment must serve IDENTICAL top-k to the unmerged 4-shard
+        # chain (same live corpus, same combined stats)
+        queries = ["zanpelmek belhax", "tabel rilo", "mekvar sunqua corbel"]
+        identical = True
+        for q in queries:
+            a = [(r["doc_id"], round(r["score"], 9))
+                 for r in topk_segments(spark, segs, q, k=10).collect()]
+            b = [(r["doc_id"], round(r["score"], 9))
+                 for r in topk(spark, f"{work}/idx_merged", q, k=10).collect()]
+            if a != b:
+                identical = False
         print(json.dumps({
-            "merge_4_to_1_s": round(time.monotonic() - t0, 2),
-            "note": "optional: shards are directly queryable unmerged "
-                    "(topk_segments), as in the streaming path",
+            "merge_4_to_1_s": round(merge_wall, 2),
+            "merge_docs_per_sec": round(man["n_docs"] / merge_wall, 1),
+            "merged_n_docs": man["n_docs"],
+            "merged_avgdl": round(man["avgdl"], 3),
+            "postmerge_topk_identical": identical,
+            "note": "shards are directly queryable unmerged "
+                    "(topk_segments) — the merge compacts the chain",
         }), flush=True)
         spark.stop()
 
