@@ -421,8 +421,10 @@ def run_ingest_compact(spark: SparkSession, out_dir: str) -> dict:
     LATEST generation — this drops superseded documents' stale entries,
     which the additive pre-compaction serving keeps (documented drift).
 
-    Crash safety: all merge outputs are staged under ``_compact_*`` names
-    first (invisible to ``job_segments``); the commit point per variant is
+    Crash safety: all merge outputs are staged under ``compact_tmp_*``
+    names first (invisible to ``job_segments``, and NOT underscore-prefixed
+    — Spark's file listing treats ``_``/``.``-prefixed roots as hidden
+    metadata and may ignore them); the commit point per variant is
     the atomic base-dir swap — from that instant the absorbed deltas are
     excluded from the chain via the merged manifest's ``merged_from`` list,
     so delta-dir deletion afterwards is pure cleanup. A crash at any point
@@ -443,7 +445,7 @@ def run_ingest_compact(spark: SparkSession, out_dir: str) -> dict:
     staged: dict[str, tuple[str, list[str], dict]] = {}
     for v in variants:
         chain = job_segments(out_dir, v)
-        stage = f"{out_dir}/_compact_{v}"
+        stage = f"{out_dir}/compact_tmp_{v}"
         shutil.rmtree(stage, ignore_errors=True)
         man = merge_segments(spark, chain, stage)
         staged[v] = (stage, chain, man)
@@ -462,19 +464,24 @@ def run_ingest_compact(spark: SparkSession, out_dir: str) -> dict:
             .filter(F.col("gen") == F.col("_mx"))
             .drop("_mx")
         )
-        comp_stage = f"{out_dir}/_compact_completion"
+        comp_stage = f"{out_dir}/compact_tmp_completion"
         shutil.rmtree(comp_stage, ignore_errors=True)
         build_completion_index(
             live.select("input", "weight", "display"), comp_stage
         )
-        sugg_stage = f"{out_dir}/_compact_suggest_rows"
+        sugg_stage = f"{out_dir}/compact_tmp_suggest_rows"
         live.withColumn("gen", F.lit(0)).write.mode("overwrite").parquet(
             sugg_stage
         )
         n_completion = spark.read.parquet(comp_stage).count()
 
-    # commit: per-variant atomic base swap, then cleanup
-    for v in variants:
+    # commit: per-variant atomic base swap, then cleanup. Stopword FIRST:
+    # a shared-docs stopword base resolves docs through ../index/docs, so
+    # the default base must still be the OLD one if a crash lands between
+    # the two swaps — once the (self-contained) merged stopword segment is
+    # in place, nothing points at the default's docs anymore and a re-run
+    # recovers cleanly from any interleaving.
+    for v in reversed(variants):
         stage, chain, _ = staged[v]
         _swap_dir(stage, f"{out_dir}/{v}")
         for d in chain[1:]:
