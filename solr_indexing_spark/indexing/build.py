@@ -60,14 +60,20 @@ from .docids import assign_doc_ids
 # second time — event-log profiling showed that re-read as a full extra
 # scan of the postings table inside _finalize_segment. Readers validate
 # via read_manifest so a stale segment fails with a version message, not
-# an opaque missing-column error.
-FORMAT_VERSION = 3
+# an opaque missing-column error. v4 widens block_id to int64: block ids
+# are doc-range-derived (build: salt<<20+i with salt_range 2^16; merge:
+# merge_shard<<20+i with merge_shard = first_doc_id/2^17), so any segment
+# whose doc ids sit past 2^28 — e.g. merge inputs at disjoint 2^33
+# base_doc_id strides, the hierarchical-merge story — overflowed int32
+# (Arrow refused the cast; caught by scaling_cluster --merge at stride'd
+# shard ids).
+FORMAT_VERSION = 4
 
 POSTINGS_SCHEMA = T.StructType(
     [
         T.StructField("term", T.StringType(), False),
         T.StructField("bucket", T.IntegerType(), False),
-        T.StructField("block_id", T.IntegerType(), False),
+        T.StructField("block_id", T.LongType(), False),
         T.StructField("first_doc_id", T.LongType(), False),
         T.StructField("last_doc_id", T.LongType(), False),
         T.StructField("n_docs", T.IntegerType(), False),
@@ -320,7 +326,7 @@ def _make_block_builder(
         arrays = [
             term_runs.take(pa.array(bstarts)),  # zero-copy block terms
             pa.array(group_buckets[g_of_block].astype(np.int32)),
-            pa.array(block_ids.astype(np.int32)),
+            pa.array(block_ids.astype(np.int64)),
             pa.array(doc_ids[bstarts]),
             pa.array(doc_ids[bends - 1]),
             pa.array(ndocs.astype(np.int32)),
