@@ -3,6 +3,16 @@
 
     spark-submit --py-files engine.zip query.py --index /path/to/index \
         --query "income tax deduction" [--k 10] [--mode bmw|brute]
+
+Server mode (warm sessions — the high-QPS posture):
+
+    query.py --index /path/to/job --serve [--analyzer stopword]
+
+reads one request per stdin line and answers each with one JSON line:
+``<terms...>`` runs BM25 top-k; ``complete <prefix>`` runs the weighted
+suggester (ingest jobs with a completion table only). The process holds a
+JobSession / SegmentsSession, so the chain's dead set, tombstone stats,
+union dictionary and term-meta cache are computed once, not per query.
 """
 
 from __future__ import annotations
@@ -11,12 +21,69 @@ import argparse
 import json
 
 
+def serve(spark, args) -> None:
+    """stdin/stdout request loop over a warm session."""
+    import os
+    import sys
+
+    from pyspark.sql import functions as F
+
+    from solr_indexing_spark.indexing.build import read_docs
+
+    job_sess = None
+    if os.path.exists(f"{args.index}/_job_manifest.json"):
+        from solr_indexing_spark.ingest import JobSession
+
+        job_sess = JobSession(spark, args.index, analyzer=args.analyzer)
+        sess, dirs = job_sess.segments, job_sess.seg_dirs
+    else:
+        from solr_indexing_spark.indexing.incremental import SegmentsSession
+
+        from solr_indexing_spark.ingest import resolve_index
+
+        dirs = [resolve_index(args.index, args.analyzer)]
+        sess = SegmentsSession(spark, dirs)
+
+    docs = read_docs(spark, dirs[0]).select("doc_id", "url")
+    for d in dirs[1:]:
+        docs = docs.unionByName(read_docs(spark, d).select("doc_id", "url"))
+
+    for line in sys.stdin:
+        req = line.strip()
+        if not req:
+            continue
+        if req.startswith("complete ") and job_sess is not None:
+            hits = [
+                {"input": r["input"], "weight": r["weight"],
+                 "display": r["display"]}
+                for r in job_sess.complete(req[len("complete "):],
+                                           k=args.k).collect()
+            ]
+            print(json.dumps({"complete": req[len("complete "):],
+                              "hits": hits}), flush=True)
+            continue
+        rows = (
+            sess.topk(req, k=args.k)
+            .join(docs, "doc_id")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .collect()
+        )
+        hits = [
+            {"doc_id": r["doc_id"], "score": r["score"], "url": r["url"]}
+            for r in rows
+        ]
+        print(json.dumps({"query": req, "hits": hits}), flush=True)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--index", required=True,
                     help="index segment dir, or an ingest job dir "
                          "(routed via --analyzer)")
-    ap.add_argument("--query", required=True)
+    ap.add_argument("--query", default=None)
+    ap.add_argument("--serve", action="store_true",
+                    help="hold a warm session and answer one request per "
+                         "stdin line (see module docstring)")
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--mode", choices=["bmw", "brute"], default="bmw")
     ap.add_argument("--analyzer", choices=["default", "stopword"],
@@ -25,11 +92,26 @@ def main() -> None:
                          "reference's IndexName vs IndexNameStopword)")
     ap.add_argument("--cores", default=None)
     args = ap.parse_args()
+    if bool(args.query) == args.serve:
+        ap.error("exactly one of --query / --serve is required")
+    if args.serve and args.mode != "bmw":
+        ap.error("--serve holds a warm BMW session; --mode brute "
+                 "is one-shot only")
 
     import os
 
     from solr_indexing_spark.ingest import job_segments, resolve_index
     from solr_indexing_spark.session import get_spark
+
+    if args.serve:
+        if args.cores:
+            spark = get_spark("serve", cores=args.cores)
+        else:
+            from pyspark.sql import SparkSession
+
+            spark = SparkSession.builder.appName("serve").getOrCreate()
+        serve(spark, args)
+        return
 
     # a partially re-indexed job serves a segment CHAIN (base + deltas,
     # combined stats + union tombstones) until the next merge compacts it —

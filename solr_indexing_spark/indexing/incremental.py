@@ -238,6 +238,12 @@ def _chain_state(spark: SparkSession, seg_dirs: list[str], mans: list[dict]):
         "n_docs": n_total,
         "avgdl": avgdl,
         "analyzer": analyzers.pop(),
+        # chain doc-id span — lets _auto_shard_range size the BMW doc-range
+        # shards to the chain's actual id space (shards at disjoint
+        # base_doc_id strides would otherwise default to a 2^17 width and
+        # explode rare-term blocks across millions of shards)
+        "doc_id_base": min(m.get("doc_id_base", 0) for m in mans),
+        "doc_id_hi": max(m.get("doc_id_hi", -1) for m in mans),
     }
 
     def _union(frames):
@@ -299,7 +305,7 @@ class SegmentsSession:
             self.postings = self.postings.persist()
 
     def topk(
-        self, query: str, k: int = 10, shard_range: int = 1 << 17
+        self, query: str, k: int = 10, shard_range: int | None = None
     ) -> DataFrame:
         return _topk_impl(
             self.spark, self.man, self.dictionary, self.postings, query, k,
@@ -384,7 +390,7 @@ def topk_segments(
     seg_dirs: list[str],
     query: str,
     k: int = 10,
-    shard_range: int = 1 << 17,
+    shard_range: int | None = None,
     dead=None,
 ) -> DataFrame:
     """BM25 top-k across several segments (pre-merge serving path),

@@ -410,6 +410,85 @@ def complete_job(
     return complete(src, prefix, k)
 
 
+class JobSession:
+    """Warm serving handle over an INGEST JOB directory — the product
+    layer above :class:`..indexing.incremental.SegmentsSession`, covering
+    both halves of the reference's serving surface (BM25 search +
+    suggester, solrIndexCreation.ts:877-880 / the Suggest[] push): one
+    analyzer variant's segment chain plus the job's completion tables.
+
+    Computed once at open (valid until the next partial re-index or
+    compaction changes the chain — re-open then):
+
+    - the variant chain's ``SegmentsSession`` (union dead set, tombstone
+      stats correction, union dictionary, per-term meta cache);
+    - the unioned completion source (base table + partial-run delta
+      tables), persisted — prefix queries stop re-listing and re-reading
+      the table set per call.
+
+    A server wanting both analyzers of a dual job holds two JobSessions
+    (they share nothing mutable).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        out_dir: str,
+        analyzer: str | None = None,
+        cache_dictionary: bool = True,
+        cache_postings: bool = False,
+    ):
+        from .indexing.incremental import SegmentsSession
+
+        if not os.path.exists(f"{out_dir}/_job_manifest.json"):
+            raise ValueError(f"{out_dir} is not an ingest job directory")
+        # validates the variant exists (and fails like resolve_index does)
+        resolve_index(out_dir, analyzer)
+        self.spark = spark
+        self.out_dir = out_dir
+        self.analyzer = analyzer or "default"
+        variant = "index_stopword" if analyzer == "stopword" else "index"
+        self.seg_dirs = job_segments(out_dir, variant)
+        self.segments = SegmentsSession(
+            spark,
+            self.seg_dirs,
+            cache_dictionary=cache_dictionary,
+            cache_postings=cache_postings,
+        )
+        self._completion = None
+        tables = completion_tables(out_dir)
+        if tables:
+            src = spark.read.parquet(tables[0]).select(
+                "input", "weight", "display"
+            )
+            for t in tables[1:]:
+                src = src.unionByName(
+                    spark.read.parquet(t).select("input", "weight", "display")
+                )
+            self._completion = src.persist()
+
+    def topk(self, query: str, k: int = 10) -> DataFrame:
+        """BM25 top-k (doc_id, score) over the variant's live chain."""
+        return self.segments.topk(query, k=k)
+
+    def complete(self, prefix: str, k: int = 10) -> DataFrame:
+        """Weighted prefix completion over the job's completion tables
+        (max weight per input across base + deltas, as
+        :func:`complete_job`)."""
+        if self._completion is None:
+            raise ValueError(
+                f"ingest job at {self.out_dir} has no completion table"
+            )
+        from .query.completion import complete
+
+        return complete(self._completion, prefix, k)
+
+    def close(self) -> None:
+        self.segments.close()
+        if self._completion is not None:
+            self._completion.unpersist()
+
+
 def run_ingest_compact(spark: SparkSession, out_dir: str) -> dict:
     """Compact a partially re-indexed job back to one segment per variant
     and one completion table — the between-rebuilds maintenance the

@@ -331,7 +331,7 @@ class QuerySession:
             self.dead.release()
 
     def topk(
-        self, query: str, k: int = 10, shard_range: int = 1 << 17
+        self, query: str, k: int = 10, shard_range: int | None = None
     ) -> DataFrame:
         return _topk_impl(
             self.spark, self.man, self.dictionary, self.postings, query, k,
@@ -344,7 +344,7 @@ def topk(
     index_dir: str,
     query: str,
     k: int = 10,
-    shard_range: int = 1 << 17,
+    shard_range: int | None = None,
 ) -> DataFrame:
     """BM25 top-k (doc_id, score) over a built segment, via block-max WAND.
 
@@ -374,6 +374,33 @@ def topk(
 #: queries repopulate the hot head, which Zipf query streams guarantee).
 TERM_META_CACHE_CAP = 1_000_000
 
+#: floor for the doc-range shard width (the historical fixed default).
+MIN_SHARD_RANGE = 1 << 17
+
+
+def _auto_shard_range(man: dict, spark: SparkSession) -> int:
+    """Doc-range shard width when the caller doesn't pin one.
+
+    A block is exploded into every shard its [first_doc_id, last_doc_id]
+    range overlaps, so the width must scale with the segment's doc-id
+    SPAN, not be a constant: at a fixed 2^17 width, a corpus with 10^12
+    ids means ~7.6M shards, and a rare term's single 128-posting block
+    spanning the corpus would fan out into millions of duplicate rows
+    (scores are shard-invariant, so this is pure waste). Sizing the width
+    to span / (4 × parallelism) keeps the fan-out at ~4 shard tasks per
+    core regardless of corpus size; the 2^17 floor keeps small/test
+    corpora on their historical plans. Power-of-two so the downstream
+    integer division is stable across chains sharing a width."""
+    span = int(man.get("doc_id_hi", -1)) - int(man.get("doc_id_base", 0)) + 1
+    if span <= 0:
+        span = max(int(man.get("n_docs", 0)), 1)
+    target_shards = 4 * max(spark.sparkContext.defaultParallelism, 1)
+    want = -(-span // target_shards)
+    width = MIN_SHARD_RANGE
+    while width < want:
+        width <<= 1
+    return width
+
 
 def _topk_impl(
     spark: SparkSession,
@@ -382,12 +409,14 @@ def _topk_impl(
     postings: DataFrame,
     query: str,
     k: int,
-    shard_range: int,
+    shard_range: int | None,
     dead: frozenset = frozenset(),
     meta_cache: dict | None = None,
 ) -> DataFrame:
     num_buckets = man["num_buckets"]
     n_docs, avgdl = man["n_docs"], man["avgdl"]
+    if shard_range is None:
+        shard_range = _auto_shard_range(man, spark)
 
     # query must use the SAME analyzer the segment was built with
     # (the reference maintains parallel IndexName / IndexNameStopword
@@ -555,7 +584,7 @@ def topk_prefix(
     prefix: str,
     k: int = 10,
     max_terms: int = 64,
-    shard_range: int = 1 << 17,
+    shard_range: int | None = None,
 ) -> DataFrame:
     """BM25 top-k for a prefix query (``pre*``): expand against the
     dictionary, then run the expanded OR-query through block-max WAND —
@@ -573,7 +602,7 @@ def topk_boosted(
     boosts,
     k: int = 10,
     boost_weight: float = 1.0,
-    shard_range: int = 1 << 17,
+    shard_range: int | None = None,
 ) -> DataFrame:
     """Opt-in boosted mode (SURVEY.md §7.4): BM25 relevance plus an additive
     per-document static prior — the reference's documenttypeboost /

@@ -66,7 +66,7 @@ def phrase_topk(
     index_dir: str,
     phrase: str,
     k: int = 10,
-    shard_range: int = 1 << 17,
+    shard_range: int | None = None,
 ) -> DataFrame:
     man = read_manifest(index_dir)
     if not man.get("positions"):
@@ -74,6 +74,10 @@ def phrase_topk(
             f"segment {index_dir} was built without positions "
             "(build_index(store_positions=True))"
         )
+    if shard_range is None:
+        from .bmw import _auto_shard_range
+
+        shard_range = _auto_shard_range(man, spark)
     num_buckets = man["num_buckets"]
     n_docs, avgdl = man["n_docs"], man["avgdl"]
     # Gapped (position, term) pairs: under the stopword analyzer the kept

@@ -77,3 +77,22 @@ def test_query_session_term_cache(spark, index_dir, oracle):  # noqa: F811
 
     # an all-OOV cached query short-circuits to empty without the dict
     assert qs.topk("nosuchterm", k=5).collect() == []
+
+
+def test_auto_shard_range_scales_with_doc_span(spark):
+    """Default (auto) shard width: floor of 2^17 on small corpora, then
+    grows with the doc-id SPAN so the block fan-out stays ~4 tasks/core —
+    a 2^40-id corpus must not produce millions of doc-range shards."""
+    from solr_indexing_spark.query.bmw import MIN_SHARD_RANGE, _auto_shard_range
+
+    small = {"doc_id_base": 0, "doc_id_hi": 4_999, "n_docs": 5_000}
+    assert _auto_shard_range(small, spark) == MIN_SHARD_RANGE
+
+    big = {"doc_id_base": 0, "doc_id_hi": (1 << 40) - 1, "n_docs": 10**9}
+    width = _auto_shard_range(big, spark)
+    par = spark.sparkContext.defaultParallelism
+    assert width >= (1 << 40) // (8 * par)   # ≲8 shard tasks per core
+    assert width & (width - 1) == 0          # power of two
+    # missing span fields (legacy manifest) fall back to n_docs
+    legacy = {"n_docs": 1 << 30}
+    assert _auto_shard_range(legacy, spark) >= (1 << 30) // (8 * par)

@@ -491,3 +491,85 @@ def test_shared_docs_dual_job_partial_and_compact(spark, tmp_path):
         assert topk(spark, seg, "zq5", k=5).collect() == []
         assert len(topk(spark, seg, "sdvtwo", k=5).collect()) == 1
         assert len(topk(spark, seg, "zq9", k=5).collect()) == 1
+
+
+def test_job_session_serves_chain_and_completions(spark, tmp_path):
+    """JobSession == the one-shot paths, warm: topk matches topk_segments
+    over the same chain, complete matches complete_job, and re-opening
+    after a compaction serves the compacted job identically."""
+    from solr_indexing_spark.indexing.incremental import topk_segments
+    from solr_indexing_spark.ingest import (
+        JobSession,
+        complete_job,
+        job_segments,
+        run_ingest_compact,
+        run_ingest_partial,
+    )
+
+    out = str(tmp_path / "jsjob")
+    run_ingest(spark, _packed(spark, n=20), "case_laws", out, templateid="T")
+    run_ingest_partial(
+        spark, _packed_update(spark, [2, 9], "jsvtwo", n=20), "case_laws",
+        out, templateid="T",
+    )
+
+    js = JobSession(spark, out)
+    try:
+        for q in ("jsvtwo", "zq2", "zq5"):
+            warm = [(r["doc_id"], r["score"])
+                    for r in js.topk(q, k=5).collect()]
+            oneshot = [
+                (r["doc_id"], r["score"])
+                for r in topk_segments(
+                    spark, job_segments(out), q, k=5
+                ).collect()
+            ]
+            assert warm == oneshot, q
+        got = [(r["input"], r["weight"]) for r in
+               js.complete("jsvtwo topic", k=5).collect()]
+        want = [(r["input"], r["weight"]) for r in
+                complete_job(spark, out, "jsvtwo topic", k=5).collect()]
+        assert got == want and got
+    finally:
+        js.close()
+
+    run_ingest_compact(spark, out)
+    js2 = JobSession(spark, out)
+    try:
+        assert js2.seg_dirs == [f"{out}/index"]
+        assert js2.topk("zq2", k=5).collect() == []
+        assert len(js2.topk("jsvtwo", k=5).collect()) == 2
+        # superseded docs' stale suggest entries are gone post-compaction
+        assert js2.complete("topic 2", k=5).count() == 0
+    finally:
+        js2.close()
+
+    with pytest.raises(ValueError, match="no committed 'stopword'"):
+        JobSession(spark, out, analyzer="stopword")
+
+
+def test_query_cli_serve_loop(spark, tmp_path):
+    """query.py --serve answers stdin requests from one warm session:
+    BM25 lines and 'complete ' lines, one JSON object per line."""
+    import json as _json
+    import subprocess
+    import sys
+
+    out = str(tmp_path / "srvjob")
+    run_ingest(spark, _packed(spark, n=15), "case_laws", out, templateid="T")
+
+    reqs = "zq3 appears\ncomplete topic 4\nqqzzoov\n"
+    r = subprocess.run(
+        [sys.executable, "query.py", "--index", out, "--serve",
+         "--k", "5", "--cores", "4"],
+        input=reqs, capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = [l for l in r.stdout.replace("\r", "\n").splitlines()
+             if l.startswith("{")]
+    assert len(lines) == 3, r.stdout
+    q1, c1, q2 = (_json.loads(l) for l in lines)
+    assert q1["query"] == "zq3 appears" and len(q1["hits"]) >= 1
+    assert q1["hits"][0]["url"] == "S3"
+    assert c1["complete"] == "topic 4" and c1["hits"]
+    assert q2["hits"] == []
