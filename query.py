@@ -47,32 +47,44 @@ def serve(spark, args) -> None:
     docs = read_docs(spark, dirs[0]).select("doc_id", "url")
     for d in dirs[1:]:
         docs = docs.unionByName(read_docs(spark, d).select("doc_id", "url"))
+    # the url join runs per request — cache the 2-column projection like
+    # the session caches the dictionary (MEMORY_AND_DISK by default, so a
+    # corpus-scale docs table spills rather than OOMs)
+    docs = docs.persist()
 
     for line in sys.stdin:
         req = line.strip()
         if not req:
             continue
-        if req.startswith("complete ") and job_sess is not None:
+        try:
+            if req.startswith("complete "):
+                prefix = req[len("complete "):]
+                if job_sess is None:
+                    raise ValueError(
+                        "completion requires an ingest job dir with a "
+                        "completion table"
+                    )
+                hits = [
+                    {"input": r["input"], "weight": r["weight"],
+                     "display": r["display"]}
+                    for r in job_sess.complete(prefix, k=args.k).collect()
+                ]
+                print(json.dumps({"complete": prefix, "hits": hits}),
+                      flush=True)
+                continue
+            rows = (
+                sess.topk(req, k=args.k)
+                .join(docs, "doc_id")
+                .orderBy(F.desc("score"), F.asc("doc_id"))
+                .collect()
+            )
             hits = [
-                {"input": r["input"], "weight": r["weight"],
-                 "display": r["display"]}
-                for r in job_sess.complete(req[len("complete "):],
-                                           k=args.k).collect()
+                {"doc_id": r["doc_id"], "score": r["score"], "url": r["url"]}
+                for r in rows
             ]
-            print(json.dumps({"complete": req[len("complete "):],
-                              "hits": hits}), flush=True)
-            continue
-        rows = (
-            sess.topk(req, k=args.k)
-            .join(docs, "doc_id")
-            .orderBy(F.desc("score"), F.asc("doc_id"))
-            .collect()
-        )
-        hits = [
-            {"doc_id": r["doc_id"], "score": r["score"], "url": r["url"]}
-            for r in rows
-        ]
-        print(json.dumps({"query": req, "hits": hits}), flush=True)
+            print(json.dumps({"query": req, "hits": hits}), flush=True)
+        except Exception as e:  # one bad request must not kill the server
+            print(json.dumps({"request": req, "error": str(e)}), flush=True)
 
 
 def main() -> None:

@@ -158,60 +158,6 @@ def reindex_changed_multi(
     return delta_man
 
 
-def _segment_tombstone_state(
-    spark: SparkSession, seg_dir: str
-) -> tuple[object, int, int]:
-    """ONE read of a segment's tombstones → (dead membership, n_dead,
-    dead_tokens). Replaces the previous two independent reads (membership
-    via load_tombstones + a per-query stats agg): stats and membership are
-    both per-segment-GENERATION constants — tombstones only change when a
-    partial re-index appends — so chain serving computes them once and
-    reuses them for every query (see :class:`SegmentsSession`)."""
-    import os
-
-    from .. import TOMBSTONE_BROADCAST_THRESHOLD
-    from ..query.bmw import TombstoneFrame
-
-    if not os.path.exists(f"{seg_dir}/tombstones"):
-        return frozenset(), 0, 0
-    # distinct by doc_id: append_tombstones already dedups, but stats must
-    # stay correct even against pre-guard tombstone files (duplicates would
-    # drift idf / go negative under churn)
-    dd = (
-        spark.read.parquet(f"{seg_dir}/tombstones")
-        .dropDuplicates(["doc_id"])
-        .persist()
-    )
-    try:
-        row = dd.agg(
-            F.count("*").alias("n"), F.sum("doclen").alias("tok")
-        ).collect()[0]
-        n = int(row["n"] or 0)
-        tok = int(row["tok"] or 0)
-        if n == 0:
-            return frozenset(), 0, 0
-        if n <= TOMBSTONE_BROADCAST_THRESHOLD:
-            return (
-                frozenset(r["doc_id"] for r in dd.select("doc_id").collect()),
-                n,
-                tok,
-            )
-        # large churn: rows stay executor-side (re-read from parquet on
-        # use — the persist below is released; TombstoneFrame wraps a
-        # fresh scan so the session never pins O(churn) cache)
-        return (
-            TombstoneFrame(
-                spark.read.parquet(f"{seg_dir}/tombstones")
-                .select("doc_id")
-                .distinct()
-            ),
-            n,
-            tok,
-        )
-    finally:
-        dd.unpersist()
-
-
 def _chain_state(spark: SparkSession, seg_dirs: list[str], mans: list[dict]):
     """Shared chain assembly: validated combined manifest (live n_docs /
     avgdl), union dictionary, union postings, union dead set. Tombstone
@@ -221,9 +167,13 @@ def _chain_state(spark: SparkSession, seg_dirs: list[str], mans: list[dict]):
     if len(num_buckets) != 1 or len(analyzers) != 1:
         raise ValueError("segments disagree on num_buckets/analyzer")
 
+    # ONE read per segment's tombstones → (membership, n_dead, dead_tok):
+    # both are per-segment-GENERATION constants (tombstones only change
+    # when a partial re-index appends), so chain serving computes them
+    # once and reuses them for every query (see SegmentsSession)
     deads, n_dead, dead_tok = [], 0, 0
     for d in seg_dirs:
-        dset, n, tok = _segment_tombstone_state(spark, d)
+        dset, n, tok = load_tombstones(spark, d, with_stats=True)
         deads.append(dset)
         n_dead += n
         dead_tok += tok

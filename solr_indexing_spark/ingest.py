@@ -214,14 +214,29 @@ def run_ingest(
     return job
 
 
+def _recover_swap(dest: str) -> None:
+    """Roll back a ``_swap_dir`` interrupted between its two renames
+    (``dest`` absent, ``dest.old`` present): restore the old tree. Safe
+    because a swap is the LAST step of its commit — at the moment of the
+    crash the old tree's chain (deltas, manifests) is still fully on disk,
+    so rolling back returns the job to its exact pre-commit state and the
+    staged new tree (still under its staging name) is re-created or
+    re-swapped by the retried operation."""
+    old = f"{dest}.old"
+    if not os.path.exists(dest) and os.path.exists(old):
+        os.replace(old, dest)
+
+
 def _swap_dir(new_dir: str, dest: str) -> None:
-    """Swap ``new_dir`` into place at ``dest`` with a minimal crash window:
-    rename-old → rename-new → delete-old. The old tree is never deleted
-    before the new one is in place (a crash leaves either the old dir
-    serving, or both ``dest`` and a ``.old`` leftover — never neither, which
-    the previous rmtree-then-replace ordering allowed)."""
+    """Swap ``new_dir`` into place at ``dest``: rename-old → rename-new →
+    delete-old. The old tree is never deleted before the new one is in
+    place; the one crash window (between the two renames) leaves ``dest``
+    absent with ``dest.old`` intact, which ``_recover_swap`` rolls back —
+    readers (``job_segments``, ``completion_tables``) and the retried
+    compaction all run it first, so no interleaving loses data."""
     import shutil
 
+    _recover_swap(dest)  # roll back a prior interrupted swap first
     old = f"{dest}.old"
     shutil.rmtree(old, ignore_errors=True)  # leftover from a prior crash
     if os.path.exists(dest):
@@ -244,6 +259,7 @@ def job_segments(out_dir: str, variant: str = "index") -> list[str]:
     import glob as _glob
 
     base = f"{out_dir}/{variant}"
+    _recover_swap(base)
     deltas = sorted(_glob.glob(f"{out_dir}/{variant}_delta*"))
     merged_from: set[str] = set()
     if deltas and os.path.exists(f"{base}/_manifest.json"):
@@ -338,9 +354,27 @@ def run_ingest_partial(
     if sugg is not None:
         comp_delta = f"{out_dir}/completion_delta{gen:04d}"
         build_completion_index(sugg, comp_delta)
-        sugg.withColumn("display", F.col("input")).withColumn(
+        rows = sugg.withColumn("display", F.col("input")).withColumn(
             "gen", F.lit(gen)
-        ).write.mode("append").parquet(f"{out_dir}/suggest_rows")
+        )
+        # one null-input MARKER row per updated url: a document whose new
+        # version carries no (or fewer) Suggest entries must still bump its
+        # url's generation in suggest_rows, else compaction's
+        # latest-generation filter would keep serving the superseded
+        # version's entries forever. Markers are dropped by the
+        # input-not-null filter after the generation election.
+        markers = doc.select(F.col("id").alias("url")).distinct().select(
+            "url",
+            F.lit(None).cast(rows.schema["input"].dataType).alias("input"),
+            F.lit(None).cast(rows.schema["weight"].dataType).alias("weight"),
+            F.lit(None).cast(rows.schema["display"].dataType).alias(
+                "display"
+            ),
+            F.lit(gen).alias("gen"),
+        )
+        rows.unionByName(markers).write.mode("append").parquet(
+            f"{out_dir}/suggest_rows"
+        )
         # upper bound until compaction recomputes exactly: entries shared
         # between tables are double-counted here, never lost
         job["completion_entries"] = job.get("completion_entries", 0) + (
@@ -361,9 +395,16 @@ def run_ingest_partial(
 
 
 def _next_delta_gen(out_dir: str) -> int:
-    """Next unused delta generation number, scanning ALL delta-like dirs
-    (committed or not, both variants, compacted-away or live) so a crashed
-    or compacted run never gets its directory name reused."""
+    """Next unused delta generation number: max over ALL delta-like dirs
+    (committed or not, both variants, compacted-away or live) AND the
+    generations recorded in the base manifests' ``merged_from`` lists.
+
+    The second source is load-bearing: a compaction DELETES the absorbed
+    delta directories but ``job_segments`` excludes their names forever
+    via ``merged_from`` — if a later partial reused a deleted name (the
+    dirs alone say gen 1 is free again), its freshly built delta would be
+    silently excluded from the serving chain while the docs it supersedes
+    are already tombstoned: the documents would vanish from serving."""
     import glob as _glob
     import re
 
@@ -372,6 +413,16 @@ def _next_delta_gen(out_dir: str) -> int:
         m = re.search(r"_delta(\d+)$", d)
         if m:
             gens.append(int(m.group(1)))
+    for manp in _glob.glob(f"{out_dir}/*/_manifest.json"):
+        try:
+            with open(manp) as fh:
+                merged = json.load(fh).get("merged_from", [])
+        except (OSError, ValueError):
+            continue
+        for name in merged:
+            m = re.search(r"_delta(\d+)$", name)
+            if m:
+                gens.append(int(m.group(1)))
     return max(gens) + 1
 
 
@@ -382,6 +433,7 @@ def completion_tables(out_dir: str) -> list[str]:
     import glob as _glob
 
     base = f"{out_dir}/completion"
+    _recover_swap(base)
     out = [base] if os.path.exists(f"{base}/_completion_manifest.json") else []
     return out + sorted(
         d
@@ -517,6 +569,11 @@ def run_ingest_compact(spark: SparkSession, out_dir: str) -> dict:
     with open(job_path) as fh:
         job = json.load(fh)
     variants = ["index", "index_stopword"] if job.get("dual") else ["index"]
+    # roll back any swap a previous compaction crashed in the middle of
+    # (bases/completion recover inside job_segments/completion_tables too;
+    # suggest_rows is read directly below)
+    for d in variants + ["completion", "suggest_rows"]:
+        _recover_swap(f"{out_dir}/{d}")
 
     # stage every merge before swapping anything: a shared-docs stopword
     # base resolves its docs pointer into the default base, which must
@@ -542,6 +599,10 @@ def run_ingest_compact(spark: SparkSession, out_dir: str) -> dict:
             )
             .filter(F.col("gen") == F.col("_mx"))
             .drop("_mx")
+            # partial runs append a null-input marker per updated url so
+            # the generation election sees updates that REMOVED suggest
+            # entries; the markers themselves carry no completion
+            .filter(F.col("input").isNotNull())
         )
         comp_stage = f"{out_dir}/compact_tmp_completion"
         shutil.rmtree(comp_stage, ignore_errors=True)

@@ -270,24 +270,71 @@ def load_tombstones(
     spark: SparkSession,
     index_dir: str,
     broadcast_threshold: int = TOMBSTONE_BROADCAST_THRESHOLD,
+    with_stats: bool = False,
 ):
-    """Tombstoned doc_ids of a segment (empty frozenset if none).
+    """Tombstoned doc_ids of a segment (empty frozenset if none); with
+    ``with_stats`` a ``(membership, n_dead, dead_tokens)`` triple from the
+    same single read — chain serving needs the statistics correction
+    (SegmentsSession computes it once per segment generation), and keeping
+    both forms here means the small/large-churn policy (threshold,
+    TombstoneFrame construction) can never diverge between the one-shot
+    and session paths.
 
     Volume is bounded by churn since the last merge (merge compacts them
     away) — the Lucene liveDocs trade-off. The size check is a ``count()``
     (a scalar), NOT a collect: small sets ride task closures as a
     frozenset; past ``broadcast_threshold`` the rows stay executor-side as
     a :class:`TombstoneFrame` and the query path joins them in by shard —
-    the driver never materializes O(churn) rows."""
+    the driver never materializes O(churn) rows. Stats aggregate over
+    doc_id-distinct rows so pre-dedup-guard tombstone files can't drift
+    idf / go negative under churn."""
     if not os.path.exists(f"{index_dir}/tombstones"):
-        return frozenset()
-    df = spark.read.parquet(f"{index_dir}/tombstones").select("doc_id").distinct()
-    n = df.count()
-    if n == 0:
-        return frozenset()
-    if n <= broadcast_threshold:
-        return frozenset(r["doc_id"] for r in df.collect())
-    return TombstoneFrame(df)
+        return (frozenset(), 0, 0) if with_stats else frozenset()
+    if not with_stats:
+        df = (
+            spark.read.parquet(f"{index_dir}/tombstones")
+            .select("doc_id")
+            .distinct()
+        )
+        n = df.count()
+        if n == 0:
+            return frozenset()
+        if n <= broadcast_threshold:
+            return frozenset(r["doc_id"] for r in df.collect())
+        return TombstoneFrame(df)
+
+    dd = (
+        spark.read.parquet(f"{index_dir}/tombstones")
+        .dropDuplicates(["doc_id"])
+        .persist()
+    )
+    try:
+        row = dd.agg(
+            F.count("*").alias("n"), F.sum("doclen").alias("tok")
+        ).collect()[0]
+        n, tok = int(row["n"] or 0), int(row["tok"] or 0)
+        if n == 0:
+            return frozenset(), 0, 0
+        if n <= broadcast_threshold:
+            return (
+                frozenset(r["doc_id"] for r in dd.select("doc_id").collect()),
+                n,
+                tok,
+            )
+        # large churn: rows stay executor-side (the persist above is
+        # released; TombstoneFrame wraps a fresh scan so a session never
+        # pins O(churn) cache)
+        return (
+            TombstoneFrame(
+                spark.read.parquet(f"{index_dir}/tombstones")
+                .select("doc_id")
+                .distinct()
+            ),
+            n,
+            tok,
+        )
+    finally:
+        dd.unpersist()
 
 
 class QuerySession:

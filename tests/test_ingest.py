@@ -573,3 +573,129 @@ def test_query_cli_serve_loop(spark, tmp_path):
     assert q1["hits"][0]["url"] == "S3"
     assert c1["complete"] == "topic 4" and c1["hits"]
     assert q2["hits"] == []
+
+
+def test_partial_after_compact_serves_new_docs(spark, tmp_path):
+    """Review finding (silent data loss): a compaction deletes absorbed
+    delta DIRS but their names stay excluded via merged_from — the next
+    partial must not reuse a merged-away delta name, or its docs vanish
+    from serving while the versions they supersede are tombstoned."""
+    from solr_indexing_spark.indexing.incremental import topk_segments
+    from solr_indexing_spark.ingest import (
+        job_segments,
+        run_ingest_compact,
+        run_ingest_partial,
+    )
+
+    out = str(tmp_path / "pacjob")
+    run_ingest(spark, _packed(spark, n=12), "case_laws", out, templateid="T")
+    run_ingest_partial(
+        spark, _packed_update(spark, [4], "pacvtwo", n=12), "case_laws",
+        out, templateid="T",
+    )
+    run_ingest_compact(spark, out)
+
+    job = run_ingest_partial(
+        spark, _packed_update(spark, [6], "pacvthree", n=12), "case_laws",
+        out, templateid="T",
+    )
+    segs = job_segments(out)
+    # the fresh delta must be IN the chain (not excluded via merged_from)
+    assert len(segs) == 2, segs
+    assert segs[1].rsplit("/", 1)[-1] not in {"index_delta0001"}, (
+        "compacted-away delta name was reused"
+    )
+    assert job["segments"] == [s.rsplit("/", 1)[-1] for s in segs]
+    assert len(topk_segments(spark, segs, "pacvthree", k=5).collect()) == 1
+    assert topk_segments(spark, segs, "zq6", k=5).collect() == []
+    assert len(topk_segments(spark, segs, "zq3", k=5).collect()) == 1
+
+
+def test_compact_drops_suggests_removed_by_update(spark, tmp_path):
+    """Review finding: an update that REMOVES a document's suggest entries
+    must still bump the url's generation (marker rows), so compaction
+    drops the superseded entries instead of electing them as latest."""
+    from solr_indexing_spark.ingest import (
+        complete_job,
+        run_ingest_compact,
+        run_ingest_partial,
+    )
+
+    out = str(tmp_path / "nsjob")
+    run_ingest(spark, _packed(spark, n=10), "case_laws", out, templateid="T")
+    assert complete_job(spark, out, "topic 4", k=5).count() > 0
+
+    # update doc 4 with NO HeadingSubheading → no suggest entries at gen 1
+    upd = _packed_update(spark, [4], "nsv", n=10).withColumn(
+        "HeadingSubheading", F.lit(None).cast("string")
+    )
+    run_ingest_partial(spark, upd, "case_laws", out, templateid="T")
+    run_ingest_compact(spark, out)
+    assert complete_job(spark, out, "topic 4", k=5).count() == 0
+    # untouched docs' entries survive
+    assert complete_job(spark, out, "topic 5", k=5).count() > 0
+
+
+def test_interrupted_swap_recovers(spark, tmp_path):
+    """Review finding: the rename-old → rename-new window can crash with
+    dest absent; readers and the retried compaction roll the old tree
+    back via _recover_swap."""
+    import shutil
+
+    from solr_indexing_spark.indexing.incremental import topk_segments
+    from solr_indexing_spark.ingest import (
+        job_segments,
+        run_ingest_compact,
+        run_ingest_partial,
+    )
+
+    out = str(tmp_path / "isjob")
+    run_ingest(spark, _packed(spark, n=10), "case_laws", out, templateid="T")
+    run_ingest_partial(
+        spark, _packed_update(spark, [2], "isv", n=10), "case_laws", out,
+        templateid="T",
+    )
+    # simulate a compaction crash mid-swap: base renamed away, new not yet in
+    os.rename(f"{out}/index", f"{out}/index.old")
+    segs = job_segments(out)  # must roll back, not return a missing base
+    assert os.path.exists(f"{out}/index") and segs[0] == f"{out}/index"
+    assert len(topk_segments(spark, segs, "isv", k=5).collect()) == 1
+
+    # same crash state again, recovered by the retried compaction itself
+    os.rename(f"{out}/index", f"{out}/index.old")
+    job = run_ingest_compact(spark, out)
+    assert job["segments"] == ["index"]
+    assert len(topk_segments(spark, [f"{out}/index"], "isv", k=5).collect()) == 1
+    assert not os.path.exists(f"{out}/index.old")
+    shutil.rmtree(out)
+
+
+def test_serve_loop_error_handling(spark, tmp_path, monkeypatch, capsys):
+    """serve() answers a failing request with an error line and keeps the
+    loop alive; 'complete' on a plain segment dir errors instead of
+    BM25-scoring the literal words."""
+    import io
+    import json as _json
+    from types import SimpleNamespace
+
+    from solr_indexing_spark.indexing.build import build_index
+    from solr_indexing_spark.synth import write_pages_parquet
+
+    import query as query_cli
+
+    pages = str(tmp_path / "pages.parquet")
+    write_pages_parquet(pages, 200, seed=3)
+    idx = str(tmp_path / "idx")
+    build_index(spark, spark.read.parquet(pages), idx, num_buckets=4)
+
+    monkeypatch.setattr(
+        "sys.stdin", io.StringIO("complete foo\nsalt0000007\n")
+    )
+    args = SimpleNamespace(index=idx, analyzer=None, k=5, serve=True)
+    query_cli.serve(spark, args)
+    lines = [l for l in capsys.readouterr().out.splitlines()
+             if l.startswith("{")]
+    assert len(lines) == 2
+    err, ok = _json.loads(lines[0]), _json.loads(lines[1])
+    assert "error" in err and err["request"] == "complete foo"
+    assert len(ok["hits"]) == 1 and "00000007" in ok["hits"][0]["url"]
