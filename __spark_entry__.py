@@ -279,7 +279,13 @@ def _ft_bm25_multi(spark, sf_dir):
     reference's query-time boost composition OUTSIDE BM25 (SURVEY §7.4).
     The single-query probe (r02 ``ft_bm25_topk``) was folded in — query 1
     IS that query, and ``ft_bm25_bmw`` still checks it end-to-end against
-    the same SQL oracle through the compressed-segment path."""
+    the same SQL oracle through the compressed-segment path.
+
+    BATCH mode (mode='batch'): the same 4 queries evaluated by
+    ``topk_batch`` (query/batch.py) — ALL queries in ONE Spark job through
+    the compressed-segment BMW path. Scores must hash-match the per-query
+    brute/SQL rows exactly (rank identity of the bulk-evaluation path)."""
+    from solr_indexing_spark.query.batch import topk_batch
     from solr_indexing_spark.query.bmw import topk_boosted
 
     out = None
@@ -301,7 +307,14 @@ def _ft_bm25_multi(spark, sf_dir):
         )
         .withColumn("mode", F.lit("boosted"))
     )
-    return out.unionByName(boosted).select(
+    batch = (
+        topk_batch(spark, idx, dict(FT_QUERIES), k=5)
+        .select(
+            "query_id", "doc_id", F.round("score", 4).alias("score")
+        )
+        .withColumn("mode", F.lit("batch"))
+    )
+    return out.unionByName(boosted).unionByName(batch).select(
         "query_id", "mode", "doc_id", "score"
     )
 
@@ -1899,6 +1912,13 @@ def oracle_sql() -> dict[str, str]:
     terms_in = ", ".join(f"'{t}'" for t in FT_TERMS)
     multi = "\nunion all\n".join(
         f"select {qid} as query_id, 'plain' as mode, doc_id, score "
+        f"from ({_bm25_sql(q.split(), 5)})"
+        for qid, q in FT_QUERIES.items()
+    )
+    # batch mode: the one-job bulk path must reproduce the per-query rows
+    # exactly — same SQL, mode relabelled
+    multi += "\nunion all\n" + "\nunion all\n".join(
+        f"select {qid} as query_id, 'batch' as mode, doc_id, score "
         f"from ({_bm25_sql(q.split(), 5)})"
         for qid, q in FT_QUERIES.items()
     )

@@ -139,6 +139,23 @@ def main() -> None:
         lambda: entry._bm25_brute(spark, sf_dir, entry.FT_QUERY.split(), 10).collect(),
     )
 
+    # --- batched multi-query top-k (query/batch.py): 32 queries in ONE
+    # Spark job — the bulk-evaluation path (relevance sets / offline eval /
+    # training-data labeling). Throughput headline vs the per-query p50:
+    # sequential serving pays a job launch per query; the batch amortizes
+    # one postings scan + one shard shuffle across the whole set.
+    terms = entry.FT_TERMS
+    batch_queries = {
+        i: f"{terms[i % 8]} {terms[(3 * i + 1) % 8]} {terms[(5 * i + 2) % 8]}"
+        for i in range(32)
+    }
+    qsess.topk_batch({0: queries[0]}, k=10).collect()  # warm the batch plan
+    timed(
+        "q_bm25_batch",
+        lambda: qsess.topk_batch(batch_queries, k=10).collect(),
+    )
+    batch_qps = round(len(batch_queries) / timings["q_bm25_batch"], 1)
+
     # --- phrase / prefix / completion ------------------------------------
     idx_pos = f"{work}/idx_pos"
     timed(
@@ -278,6 +295,8 @@ def main() -> None:
                 "docs_per_sec_synth": synth_docs_per_sec,
                 "bm25_p50_ms": p50_ms,
                 "bm25_chain_p50_ms": chain_p50_ms,
+                "bm25_batch_n": len(batch_queries),
+                "bm25_batch_qps": batch_qps,
                 "dual_build_vs_two_builds_ratio": dual_vs_two_builds,
                 "pipeline_batch_n": len(batch_names),
             }

@@ -4,6 +4,15 @@
     spark-submit --py-files engine.zip query.py --index /path/to/index \
         --query "income tax deduction" [--k 10] [--mode bmw|brute]
 
+Batch mode (bulk evaluation — relevance sets over a query log):
+
+    query.py --index /path/to/index --batch queries.txt [--k 10]
+
+evaluates EVERY line of the file as a query in ONE Spark job
+(query/batch.py topk_batch) and prints one JSON line per query — the
+cluster amortizes the postings scan and shard shuffle across the whole
+set instead of paying a job launch per query.
+
 Server mode (warm sessions — the high-QPS posture):
 
     query.py --index /path/to/job --serve [--analyzer stopword]
@@ -96,6 +105,9 @@ def main() -> None:
     ap.add_argument("--serve", action="store_true",
                     help="hold a warm session and answer one request per "
                          "stdin line (see module docstring)")
+    ap.add_argument("--batch", default=None,
+                    help="file of one query per line — ALL evaluated in "
+                         "one Spark job (query/batch.py topk_batch)")
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--mode", choices=["bmw", "brute"], default="bmw")
     ap.add_argument("--analyzer", choices=["default", "stopword"],
@@ -104,11 +116,11 @@ def main() -> None:
                          "reference's IndexName vs IndexNameStopword)")
     ap.add_argument("--cores", default=None)
     args = ap.parse_args()
-    if bool(args.query) == args.serve:
-        ap.error("exactly one of --query / --serve is required")
-    if args.serve and args.mode != "bmw":
-        ap.error("--serve holds a warm BMW session; --mode brute "
-                 "is one-shot only")
+    if sum([bool(args.query), args.serve, bool(args.batch)]) != 1:
+        ap.error("exactly one of --query / --serve / --batch is required")
+    if (args.serve or args.batch) and args.mode != "bmw":
+        ap.error("--serve/--batch run the BMW path; --mode brute "
+                 "is single-query only")
 
     import os
 
@@ -150,6 +162,48 @@ def main() -> None:
         from pyspark.sql import SparkSession
 
         spark = SparkSession.builder.appName("query").getOrCreate()
+
+    if args.batch:
+        with open(args.batch) as fh:
+            qlines = [ln.strip() for ln in fh if ln.strip()]
+        queries = {i: q for i, q in enumerate(qlines)}
+        if seg_dirs is not None:
+            from solr_indexing_spark.indexing.incremental import (
+                SegmentsSession,
+            )
+
+            sess = SegmentsSession(spark, seg_dirs)
+            result = sess.topk_batch(queries, k=args.k)
+        else:
+            from solr_indexing_spark.query.batch import topk_batch
+
+            result = topk_batch(spark, args.index, queries, k=args.k)
+
+        from pyspark.sql import functions as F
+
+        from solr_indexing_spark.indexing.build import read_docs
+
+        doc_sources = seg_dirs if seg_dirs is not None else [args.index]
+        docs = read_docs(spark, doc_sources[0]).select("doc_id", "url")
+        for d in doc_sources[1:]:
+            docs = docs.unionByName(
+                read_docs(spark, d).select("doc_id", "url")
+            )
+        rows = result.join(docs, "doc_id").collect()
+        by_qid: dict[int, list] = {i: [] for i in queries}
+        for r in rows:
+            by_qid[r["query_id"]].append(r)
+        for i, q in queries.items():
+            hits = sorted(by_qid[i], key=lambda r: (-r["score"], r["doc_id"]))
+            print(json.dumps({
+                "query": q,
+                "hits": [
+                    {"doc_id": r["doc_id"], "score": r["score"],
+                     "url": r["url"]}
+                    for r in hits
+                ],
+            }))
+        return
 
     if seg_dirs is not None:
         from solr_indexing_spark.indexing.incremental import topk_segments

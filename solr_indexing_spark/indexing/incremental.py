@@ -262,6 +262,18 @@ class SegmentsSession:
             shard_range, dead=self.dead, meta_cache=self._term_meta,
         )
 
+    def topk_batch(
+        self, queries: dict, k: int = 10, shard_range: int | None = None
+    ) -> DataFrame:
+        """Q queries in ONE job over the chain (query/batch.py), sharing
+        the session's union dictionary, dead set and term-meta cache."""
+        from ..query.batch import _topk_batch_impl
+
+        return _topk_batch_impl(
+            self.spark, self.man, self.dictionary, self.postings, queries,
+            k, shard_range, dead=self.dead, meta_cache=self._term_meta,
+        )
+
     def close(self) -> None:
         from ..query.bmw import BroadcastDeadSet
 

@@ -523,6 +523,11 @@ class JobSession:
         """BM25 top-k (doc_id, score) over the variant's live chain."""
         return self.segments.topk(query, k=k)
 
+    def topk_batch(self, queries: dict, k: int = 10) -> DataFrame:
+        """Q queries in ONE job over the variant's live chain
+        (query/batch.py) — the bulk-evaluation path."""
+        return self.segments.topk_batch(queries, k=k)
+
     def complete(self, prefix: str, k: int = 10) -> DataFrame:
         """Weighted prefix completion over the job's completion tables
         (max weight per input across base + deltas, as

@@ -1,0 +1,299 @@
+"""Batched multi-query BM25 top-k — Q queries in ONE Spark job.
+
+The per-query scorer (query/bmw.py ``topk``) pays one Spark job per query —
+the right shape for interactive serving, the wrong one for bulk evaluation:
+relevance sets over a query log, offline ranking eval, BM25-labelled
+training-data generation. There a cluster should amortize the postings scan
+and the shard shuffle across the whole batch, not pay Q job launches.
+
+``topk_batch`` evaluates every query in one plan:
+
+    union of the queries' terms → ONE dictionary lookup → ONE pruned
+    postings scan (bucket + term pushdown) → doc-range shard explode →
+    per-shard BMW kernels, one per query, over the shard's SHARED block
+    set (a hot term's blocks are shipped once per shard, not once per
+    query) → ≤ k rows per (query, shard) → window top-k per query.
+
+Scores are identical to the per-query scorer — same ``_TermCursor`` /
+``bmw_shard_topk`` kernel, same statistics, same tie-breaks — so batch
+results are rank-identical to Q independent ``topk`` calls (pinned by
+tests/test_batch.py and the ``ft_bm25_multi`` driver oracle's ``batch``
+mode). At 100 TB the batch is the throughput path: one wide scan whose cost
+is shared by every query that touches the same terms, with per-shard
+fan-out bounded by Q·k rows.
+
+Reference parity: the reference has no bulk query path (its query side is a
+Solr HTTP request per query, solrIndexCreation.ts:876-882); this is
+engine-native machinery the Spark-first posture adds.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..indexing.build import _term_bucket_py, read_manifest
+from ..textprep import ANALYZERS
+from .bmw import (
+    _INF,
+    _TermCursor,
+    _auto_shard_range,
+    TERM_META_CACHE_CAP,
+    TombstoneFrame,
+    bmw_shard_topk,
+    load_tombstones,
+)
+
+
+def _resolve_term_meta(
+    man: dict,
+    dictionary: DataFrame,
+    terms: list[str],
+    meta_cache: dict | None = None,
+) -> dict:
+    """(idf, upper-bound) per known term, via the segment dictionary.
+
+    Same lookup + driver-cache discipline as ``bmw._topk_impl``: cache hits
+    (including negative entries for OOV terms) skip the dictionary job;
+    misses run one bucket-pruned filtered scan, collected (≤ |terms| tiny
+    rows). Segments are immutable, so cached entries are valid for the
+    owning session's lifetime.
+    """
+    num_buckets, n_docs = man["num_buckets"], man["n_docs"]
+    term_meta: dict = {}
+    misses = list(terms)
+    if meta_cache is not None:
+        misses = [t for t in terms if t not in meta_cache]
+        term_meta = {
+            t: meta_cache[t]
+            for t in terms
+            if meta_cache.get(t) is not None
+        }
+    if misses:
+        buckets = sorted({_term_bucket_py(t, num_buckets) for t in misses})
+        dict_rows = (
+            dictionary
+            .filter(F.col("bucket").isin(buckets) & F.col("term").isin(misses))
+            .collect()
+        )
+        found = {}
+        for r in dict_rows:
+            idf = math.log(1.0 + (n_docs - r["df"] + 0.5) / (r["df"] + 0.5))
+            found[r["term"]] = (idf, idf * r["max_tf_norm"])
+        if meta_cache is not None:
+            if len(meta_cache) + len(misses) > TERM_META_CACHE_CAP:
+                meta_cache.clear()
+            for t in misses:
+                meta_cache[t] = found.get(t)  # None = negative entry
+        term_meta.update(found)
+    return term_meta
+
+
+def _topk_batch_impl(
+    spark: SparkSession,
+    man: dict,
+    dictionary: DataFrame,
+    postings: DataFrame,
+    queries: dict,
+    k: int,
+    shard_range: int | None,
+    dead=frozenset(),
+    meta_cache: dict | None = None,
+) -> DataFrame:
+    """One-job batched top-k. ``queries``: {query_id: text or term list}.
+
+    Output: (query_id, doc_id, score), ≤ k rows per query, ordered within
+    each query by (score desc, doc_id asc) — exactly ``topk``'s contract
+    per query. Queries whose terms are all OOV yield no rows. ``query_id``
+    is a long column when every id is an int, else a string column.
+    """
+    num_buckets = man["num_buckets"]
+    avgdl = man["avgdl"]
+    if shard_range is None:
+        shard_range = _auto_shard_range(man, spark)
+
+    int_ids = all(isinstance(q, int) for q in queries)
+    qid_type = T.LongType() if int_ids else T.StringType()
+
+    tokenizer = ANALYZERS.get(
+        man.get("analyzer", "default"), ANALYZERS["default"]
+    )[2]
+    per_q: dict = {}
+    for qid, q in queries.items():
+        key = qid if int_ids else str(qid)
+        if isinstance(q, (list, tuple, set, frozenset)):
+            per_q[key] = sorted(set(q))
+        else:
+            per_q[key] = sorted(set(tokenizer(q)))
+
+    empty = spark.createDataFrame(
+        [],
+        T.StructType(
+            [
+                T.StructField("query_id", qid_type, False),
+                T.StructField("doc_id", T.LongType(), False),
+                T.StructField("score", T.DoubleType(), False),
+            ]
+        ),
+    )
+    all_terms = sorted({t for ts in per_q.values() for t in ts})
+    if not all_terms:
+        return empty
+
+    meta = _resolve_term_meta(man, dictionary, all_terms, meta_cache)
+    # per-query known-term lists; all-OOV queries drop out here
+    q_terms = {
+        qid: [t for t in ts if t in meta] for qid, ts in per_q.items()
+    }
+    q_terms = {qid: ts for qid, ts in q_terms.items() if ts}
+    if not q_terms:
+        return empty
+    live_terms = sorted({t for ts in q_terms.values() for t in ts})
+    buckets = sorted({_term_bucket_py(t, num_buckets) for t in live_terms})
+
+    blocks = (
+        postings
+        .filter(
+            F.col("bucket").isin(buckets) & F.col("term").isin(live_terms)
+        )
+        .select(
+            "term", "block_id", "first_doc_id", "last_doc_id", "n_docs",
+            "doc_gaps", "tfs", "doclens", "block_max_tf_norm",
+        )
+        .withColumn(
+            "shard",
+            F.explode(
+                F.sequence(
+                    (F.col("first_doc_id") / shard_range).cast("long"),
+                    (F.col("last_doc_id") / shard_range).cast("long"),
+                )
+            ),
+        )
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", qid_type, False),
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("score", T.DoubleType(), False),
+        ]
+    )
+    kk, rr, avg = k, shard_range, avgdl
+    qid_dtype = "int64" if int_ids else "object"
+
+    def shard_topk_batch(pdf: pd.DataFrame, dead_local) -> pd.DataFrame:
+        shard = int(pdf["shard"].iloc[0])
+        lo, hi = shard * rr, (shard + 1) * rr
+        # decode-independent block lists, built ONCE per shard and shared
+        # by every query that references the term (doc-range order — block
+        # ids restart per segment in a chain)
+        by_term: dict = {}
+        for term, g in pdf.groupby("term", sort=True):
+            g = g.sort_values("first_doc_id", kind="stable")
+            by_term[term] = [
+                (
+                    int(r.first_doc_id),
+                    int(r.last_doc_id),
+                    int(r.n_docs),
+                    bytes(r.doc_gaps),
+                    bytes(r.tfs),
+                    bytes(r.doclens),
+                    float(r.block_max_tf_norm),
+                )
+                for r in g.itertuples()
+            ]
+        out_q, out_d, out_s = [], [], []
+        for qid in sorted(q_terms):
+            cursors = []
+            for t in q_terms[qid]:
+                blist = by_term.get(t)
+                if blist is None:
+                    continue
+                idf, ub = meta[t]
+                c = _TermCursor(idf, ub, blist, lo, hi)
+                if c.cur < _INF:
+                    cursors.append(c)
+            if not cursors:
+                continue
+            for d, s in bmw_shard_topk(cursors, kk, avg, dead=dead_local):
+                out_q.append(qid)
+                out_d.append(d)
+                out_s.append(s)
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series(out_q, dtype=qid_dtype),
+                "doc_id": pd.Series(out_d, dtype="int64"),
+                "score": pd.Series(out_s, dtype="float64"),
+            }
+        )
+
+    if isinstance(dead, TombstoneFrame):
+        # large-churn path: shuffle the dead set ONCE by the same shard key
+        # and cogroup — per-task dead volume is churn/n_shards, and the
+        # whole batch shares that one shuffle (see bmw._topk_impl)
+        dead_by_shard = dead.df.select(
+            (F.col("doc_id") / F.lit(shard_range)).cast("long").alias("shard"),
+            "doc_id",
+        )
+
+        def run_cg(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            if not len(left):
+                return pd.DataFrame(
+                    {
+                        "query_id": pd.Series(dtype=qid_dtype),
+                        "doc_id": pd.Series(dtype="int64"),
+                        "score": pd.Series(dtype="float64"),
+                    }
+                )
+            return shard_topk_batch(
+                left, frozenset(int(x) for x in right["doc_id"])
+            )
+
+        candidates = (
+            blocks.groupBy("shard")
+            .cogroup(dead_by_shard.groupBy("shard"))
+            .applyInPandas(run_cg, out_schema)
+        )
+    else:
+        dead_b = dead
+
+        def run(pdf: pd.DataFrame) -> pd.DataFrame:
+            return shard_topk_batch(pdf, dead_b)
+
+        candidates = blocks.groupBy("shard").applyInPandas(run, out_schema)
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        candidates.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+        .orderBy("query_id", F.desc("score"), F.asc("doc_id"))
+    )
+
+
+def topk_batch(
+    spark: SparkSession,
+    index_dir: str,
+    queries: dict,
+    k: int = 10,
+    shard_range: int | None = None,
+) -> DataFrame:
+    """Batched BM25 top-k over one built segment (one-shot convenience —
+    a server holds a session and calls its ``topk_batch`` instead)."""
+    man = read_manifest(index_dir)
+    return _topk_batch_impl(
+        spark,
+        man,
+        spark.read.parquet(f"{index_dir}/dictionary"),
+        spark.read.parquet(f"{index_dir}/postings"),
+        queries,
+        k,
+        shard_range,
+        dead=load_tombstones(spark, index_dir),
+    )

@@ -385,6 +385,18 @@ class QuerySession:
             shard_range, dead=self.dead, meta_cache=self._term_meta,
         )
 
+    def topk_batch(
+        self, queries: dict, k: int = 10, shard_range: int | None = None
+    ) -> DataFrame:
+        """Q queries in ONE job (query/batch.py), sharing this session's
+        persisted dictionary, dead set and term-meta cache."""
+        from .batch import _topk_batch_impl
+
+        return _topk_batch_impl(
+            self.spark, self.man, self.dictionary, self.postings, queries,
+            k, shard_range, dead=self.dead, meta_cache=self._term_meta,
+        )
+
 
 def topk(
     spark: SparkSession,
@@ -461,7 +473,7 @@ def _topk_impl(
     meta_cache: dict | None = None,
 ) -> DataFrame:
     num_buckets = man["num_buckets"]
-    n_docs, avgdl = man["n_docs"], man["avgdl"]
+    avgdl = man["avgdl"]
     if shard_range is None:
         shard_range = _auto_shard_range(man, spark)
 
@@ -485,32 +497,9 @@ def _topk_impl(
     # term's (df, max_tf_norm) never changes for this segment's lifetime
     # — repeated terms (Zipf query streams) skip the dictionary job
     # entirely, including negative entries for OOV terms -----------------
-    term_meta: dict = {}
-    misses = terms
-    if meta_cache is not None:
-        misses = [t for t in terms if t not in meta_cache]
-        term_meta = {
-            t: meta_cache[t]
-            for t in terms
-            if meta_cache.get(t) is not None
-        }
-    if misses:
-        buckets = sorted({_term_bucket_py(t, num_buckets) for t in misses})
-        dict_rows = (
-            dictionary
-            .filter(F.col("bucket").isin(buckets) & F.col("term").isin(misses))
-            .collect()
-        )
-        found = {}
-        for r in dict_rows:
-            idf = math.log(1.0 + (n_docs - r["df"] + 0.5) / (r["df"] + 0.5))
-            found[r["term"]] = (idf, idf * r["max_tf_norm"])
-        if meta_cache is not None:
-            if len(meta_cache) + len(misses) > TERM_META_CACHE_CAP:
-                meta_cache.clear()
-            for t in misses:
-                meta_cache[t] = found.get(t)  # None = negative entry
-        term_meta.update(found)
+    from .batch import _resolve_term_meta
+
+    term_meta = _resolve_term_meta(man, dictionary, terms, meta_cache)
     if not term_meta:
         return empty
     buckets = sorted({_term_bucket_py(t, num_buckets) for t in term_meta})
