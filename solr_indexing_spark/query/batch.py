@@ -155,6 +155,25 @@ def _topk_batch_impl(
     live_terms = sorted({t for ts in q_terms.values() for t in ts})
     buckets = sorted({_term_bucket_py(t, num_buckets) for t in live_terms})
 
+    # ---- parallelism: (query group × doc-range shard) ------------------
+    # Doc-range sharding alone under-parallelizes small doc spans: below
+    # the 2^17 shard-width floor the WHOLE batch is one task running Q
+    # kernels serially. Queries are an independent axis the batch can
+    # split on — partition them into G groups sized so G × n_shards ≈
+    # 2 × parallelism, and ship each group ONLY its own queries' term
+    # blocks (broadcast join on a tiny (term, group) table; a term shared
+    # across groups replicates to each). At 10^12-doc spans n_shards
+    # already saturates the cluster, G collapses to 1 and the plan is the
+    # pure doc-range one — no replication, no extra join.
+    span = int(man.get("doc_id_hi", -1)) - int(man.get("doc_id_base", 0)) + 1
+    if span <= 0:
+        span = max(int(man.get("n_docs", 0)), 1)
+    n_shards = max(-(-span // shard_range), 1)
+    par = max(spark.sparkContext.defaultParallelism, 1)
+    n_groups = max(min(-(-2 * par // n_shards), len(q_terms)), 1)
+    qids_sorted = sorted(q_terms)
+    q_group = {qid: i % n_groups for i, qid in enumerate(qids_sorted)}
+
     blocks = (
         postings
         .filter(
@@ -174,6 +193,29 @@ def _topk_batch_impl(
             ),
         )
     )
+    if n_groups > 1:
+        term_group_rows = sorted(
+            {
+                (t, q_group[qid])
+                for qid, ts in q_terms.items()
+                for t in ts
+            }
+        )
+        tg = spark.createDataFrame(
+            term_group_rows, "term string, qgroup int"
+        )
+        blocks = blocks.join(F.broadcast(tg), "term")
+    else:
+        blocks = blocks.withColumn("qgroup", F.lit(0))
+    # explicit exchange: the batch's shuffle payload (pruned blocks) is
+    # tiny, so AQE would coalesce it to ONE partition and run every
+    # kernel serially — the kernels (~100 ms each on dense terms) are the
+    # batch's real cost, and their parallelism must survive. An explicit
+    # repartition on the grouping keys is respected by AQE, and because
+    # it hash-partitions on exactly the applyInPandas grouping columns,
+    # EnsureRequirements inserts no second exchange.
+    n_parts = max(min(n_groups * n_shards, 4 * par), 1)
+    blocks = blocks.repartition(n_parts, "qgroup", "shard")
 
     out_schema = T.StructType(
         [
@@ -185,12 +227,17 @@ def _topk_batch_impl(
     kk, rr, avg = k, shard_range, avgdl
     qid_dtype = "int64" if int_ids else "object"
 
+    group_qids: dict = {}
+    for qid in qids_sorted:
+        group_qids.setdefault(q_group[qid], []).append(qid)
+
     def shard_topk_batch(pdf: pd.DataFrame, dead_local) -> pd.DataFrame:
         shard = int(pdf["shard"].iloc[0])
+        group = int(pdf["qgroup"].iloc[0])
         lo, hi = shard * rr, (shard + 1) * rr
-        # decode-independent block lists, built ONCE per shard and shared
-        # by every query that references the term (doc-range order — block
-        # ids restart per segment in a chain)
+        # decode-independent block lists, built ONCE per (group, shard)
+        # and shared by every query in the group that references the term
+        # (doc-range order — block ids restart per segment in a chain)
         by_term: dict = {}
         for term, g in pdf.groupby("term", sort=True):
             g = g.sort_values("first_doc_id", kind="stable")
@@ -207,7 +254,7 @@ def _topk_batch_impl(
                 for r in g.itertuples()
             ]
         out_q, out_d, out_s = [], [], []
-        for qid in sorted(q_terms):
+        for qid in group_qids.get(group, ()):
             cursors = []
             for t in q_terms[qid]:
                 blist = by_term.get(t)
@@ -232,12 +279,16 @@ def _topk_batch_impl(
         )
 
     if isinstance(dead, TombstoneFrame):
-        # large-churn path: shuffle the dead set ONCE by the same shard key
-        # and cogroup — per-task dead volume is churn/n_shards, and the
-        # whole batch shares that one shuffle (see bmw._topk_impl)
+        # large-churn path: shuffle the dead set ONCE by the same
+        # (group, shard) key and cogroup — per-task dead volume is
+        # churn/n_shards (× the group fan-out), and the whole batch shares
+        # that one shuffle (see bmw._topk_impl)
         dead_by_shard = dead.df.select(
             (F.col("doc_id") / F.lit(shard_range)).cast("long").alias("shard"),
             "doc_id",
+        ).withColumn(
+            "qgroup",
+            F.explode(F.lit(list(range(n_groups))).cast("array<int>")),
         )
 
         def run_cg(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
@@ -254,8 +305,8 @@ def _topk_batch_impl(
             )
 
         candidates = (
-            blocks.groupBy("shard")
-            .cogroup(dead_by_shard.groupBy("shard"))
+            blocks.groupBy("qgroup", "shard")
+            .cogroup(dead_by_shard.groupBy("qgroup", "shard"))
             .applyInPandas(run_cg, out_schema)
         )
     else:
@@ -264,7 +315,9 @@ def _topk_batch_impl(
         def run(pdf: pd.DataFrame) -> pd.DataFrame:
             return shard_topk_batch(pdf, dead_b)
 
-        candidates = blocks.groupBy("shard").applyInPandas(run, out_schema)
+        candidates = blocks.groupBy("qgroup", "shard").applyInPandas(
+            run, out_schema
+        )
 
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("doc_id")
