@@ -44,8 +44,8 @@ from .bmw import (
     _auto_shard_range,
     TERM_META_CACHE_CAP,
     TombstoneFrame,
-    bmw_shard_topk,
     load_tombstones,
+    shard_topk_auto,
 )
 
 
@@ -266,7 +266,9 @@ def _topk_batch_impl(
                     cursors.append(c)
             if not cursors:
                 continue
-            for d, s in bmw_shard_topk(cursors, kk, avg, dead=dead_local):
+            for d, s in shard_topk_auto(
+                cursors, kk, avg, dead=dead_local, lo=lo, hi=hi
+            ):
                 out_q.append(qid)
                 out_d.append(d)
                 out_s.append(s)

@@ -176,6 +176,114 @@ def bmw_shard_topk(
     return sorted(((-nd, s) for s, nd in heap), key=lambda t: (-t[1], t[0]))[:k]
 
 
+#: kernel auto-switch thresholds (shard_topk_auto): WAND skipping only
+#: pays when some term is selective enough to pivot past most postings.
+#: When every term's in-shard postings count is ≥ DENSE_MIN_POSTINGS and
+#: the total is ≥ DENSE_TOTAL_POSTINGS, the pivot walk degenerates to an
+#: O(total) Python loop (~100 ms per query at 12k postings) and the
+#: vectorized term-at-a-time scorer (~50M postings/s) wins by ~100×.
+DENSE_MIN_POSTINGS = 256
+DENSE_TOTAL_POSTINGS = 4096
+
+
+def _blocks_in_range(cursor: _TermCursor, lo: int, hi: int):
+    for blk in cursor.blocks:
+        if blk[1] < lo or blk[0] >= hi:
+            continue
+        yield blk
+
+
+def taat_shard_topk(
+    cursors: list[_TermCursor],
+    k: int,
+    avgdl: float,
+    dead=frozenset(),
+    lo: int = 0,
+    hi: int = _INF,
+) -> list[tuple[int, float]]:
+    """Exact top-k within one shard via vectorized term-at-a-time scoring —
+    the dense-query complement to :func:`bmw_shard_topk`.
+
+    Semantics are identical to the WAND kernel (every candidate's full
+    BM25 score, ties broken by ascending doc_id, dead docs skipped); only
+    the execution strategy differs: decode every in-range block, score all
+    postings in numpy, accumulate per doc with a stable sort + reduceat
+    (summation order = sorted-term order, matching the WAND kernel's
+    contributor order), then lexsort the top-k out. No skipping — which is
+    exactly right when no term is selective enough to skip."""
+    ids_list, sc_list = [], []
+    for c in cursors:
+        for first, last, n, gaps, tf_buf, dl_buf, _bmax in _blocks_in_range(
+            c, lo, hi
+        ):
+            ids = delta_decode(first, gaps, n).astype(np.int64)
+            tfs = vbyte_decode(tf_buf).astype(np.float64)
+            dls = vbyte_decode(dl_buf).astype(np.float64)
+            sc = (
+                c.idf * tfs * (K1 + 1.0)
+                / (tfs + K1 * (1.0 - B + B * dls / avgdl))
+            )
+            if first < lo or last >= hi:
+                m = (ids >= lo) & (ids < hi)
+                ids, sc = ids[m], sc[m]
+            if len(ids):
+                ids_list.append(ids)
+                sc_list.append(sc)
+    if not ids_list:
+        return []
+    ids = np.concatenate(ids_list)
+    sc = np.concatenate(sc_list)
+    order = np.argsort(ids, kind="stable")
+    ids, sc = ids[order], sc[order]
+    starts = np.concatenate(([0], np.nonzero(np.diff(ids))[0] + 1))
+    uids = ids[starts]
+    totals = np.add.reduceat(sc, starts)
+    if dead:
+        if isinstance(dead, BroadcastDeadSet):
+            darr = dead.to_array()
+            pos = np.searchsorted(darr, uids)
+            pos = np.minimum(pos, max(len(darr) - 1, 0))
+            alive = darr[pos] != uids
+        else:
+            alive = np.fromiter(
+                (d not in dead for d in uids.tolist()),
+                dtype=bool,
+                count=len(uids),
+            )
+        uids, totals = uids[alive], totals[alive]
+    if not len(uids):
+        return []
+    sel = np.lexsort((uids, -totals))[: min(k, len(uids))]
+    return [(int(uids[i]), float(totals[i])) for i in sel]
+
+
+def shard_topk_auto(
+    cursors: list[_TermCursor],
+    k: int,
+    avgdl: float,
+    dead=frozenset(),
+    lo: int = 0,
+    hi: int = _INF,
+) -> list[tuple[int, float]]:
+    """Cost-based kernel choice per (query, shard) — MaxScore-style
+    reasoning, deterministic from block statistics so repeated runs pick
+    identically: WAND's pivot walk evaluates ≳ the SMALLEST term's
+    in-shard postings count, so it only beats the vectorized scorer when
+    some term is selective (rare term anchors the pivot). All-dense
+    queries go term-at-a-time."""
+    if not cursors:
+        return []
+    per_term = [
+        sum(blk[2] for blk in _blocks_in_range(c, lo, hi)) for c in cursors
+    ]
+    if (
+        min(per_term) >= DENSE_MIN_POSTINGS
+        and sum(per_term) >= DENSE_TOTAL_POSTINGS
+    ):
+        return taat_shard_topk(cursors, k, avgdl, dead=dead, lo=lo, hi=hi)
+    return bmw_shard_topk(cursors, k, avgdl, dead=dead)
+
+
 # (TOMBSTONE_BROADCAST_THRESHOLD lives in the package root — shared with
 # indexing.merge so both paths flip to the broadcast form together.)
 
@@ -556,7 +664,9 @@ def _topk_impl(
             c = _TermCursor(idf, ub, blist, lo, hi)
             if c.cur < _INF:
                 cursors.append(c)
-        results = bmw_shard_topk(cursors, kk, avg, dead=dead_local)
+        results = shard_topk_auto(
+            cursors, kk, avg, dead=dead_local, lo=lo, hi=hi
+        )
         return pd.DataFrame(results, columns=["doc_id", "score"])
 
     if isinstance(dead, TombstoneFrame):
