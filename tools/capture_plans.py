@@ -79,6 +79,35 @@ def main() -> None:
         "— no global sort of candidates.",
     ))
 
+    # --- round 4: batched multi-query top-k ------------------------------
+    from solr_indexing_spark.query.batch import topk_batch
+
+    bq = topk_batch(
+        spark,
+        f"{work}/idx",
+        {i: q for i, q in enumerate(
+            ["zanpelmek belhax", "corvim fulful", "galcorsunrex",
+             "salt0000042 zanpelmek"] * 8
+        )},
+        k=10,
+    )
+    sections.append((
+        "Batched multi-query top-k (round 4: Q queries, ONE job, "
+        "query-group × doc-range-shard grid)",
+        plan_of(bq),
+        "What to check: ONE bucket+term-pruned postings scan serves the "
+        "whole batch (`PushedFilters`/INSET carries the UNION of all "
+        "queries' terms); a `BroadcastHashJoin` on the tiny (term, qgroup) "
+        "table replicates each block only to the query groups that need "
+        "its term; exactly ONE `Exchange hashpartitioning(qgroup, shard)` "
+        "tagged REPARTITION_BY_NUM — explicitly pinned so AQE cannot "
+        "coalesce the tiny shuffle to one partition and serialize the "
+        "per-query kernels; `FlatMapGroupsInPandas` receives the grid "
+        "directly (EnsureRequirements adds no second exchange); the "
+        "per-query top-k runs as WindowGroupLimit partial → final (≤ k "
+        "rows per query cross the last exchange).",
+    ))
+
     # --- round 3: finalize aggregations never touch the binaries ---------
     blocks_r = spark.read.parquet(f"{work}/idx/postings")
     lin = blocks_r.groupBy(F.col("bucket").alias("partition_id")).agg(
@@ -304,6 +333,66 @@ changes: same scan, same exchange, same in-partition sort; the second
 segment costs only its share of block encode + write. Measured:
 dual = 0.94× the cost of two independent builds at 20k docs (0.86× at
 60k) on a worst-case corpus with zero stopwords.
+
+## Round 4: dense-query kernel — vectorized term-at-a-time vs WAND
+
+Profiling the batch path exposed the per-query cost ceiling: on
+all-common-term queries (every term df ≈ 0.8N) WAND cannot prune — the
+pivot walk visits nearly every posting as a Python loop, ~100 ms/query
+at 12k postings, and at a 10^12-doc shard it would be the serving
+bottleneck. `shard_topk_auto` (query/bmw.py) picks the kernel per
+(query, shard) from block statistics, MaxScore-style: WAND when any
+term's in-shard postings count is small enough to anchor the pivot
+(min < 256 or total < 4096 — selective queries are where skipping
+wins), vectorized term-at-a-time otherwise (`taat_shard_topk`: decode
+all in-range blocks, numpy BM25 over every posting, stable-sort +
+reduceat per-doc accumulation in sorted-term order, lexsort top-k,
+~50M postings/s). Both kernels are exact with identical tie-breaks
+(hypothesis property test pins ids equal / scores to 1e-9, dead sets
+included; the choice is deterministic from block stats so repeated runs
+agree). Measured sf0.1/local[32]: 512-query batch 38.7 → 1.6 s
+(312 qps, ~156× the 2 qps sequential rate); dense single-query p50
+562 → ~400 ms.
+
+## Round 4: warm chain serving (SegmentsSession) — 2nd query of a session
+
+Captured from a base+delta chain (200 docs tombstoned into `base` by a
+partial re-index), second query on a warm `SegmentsSession`:
+
+```
+TakeOrderedAndProject(limit=10, orderBy=[score DESC, doc_id ASC])
++- FlatMapGroupsInPandas [shard], run_shard(...)          <- one BMW kernel per doc-range shard
+   +- Sort [shard ASC], false
+      +- AQEShuffleRead coalesced
+         +- Exchange hashpartitioning(shard, 16)          <- the ONLY exchange
+            +- Generate explode(sequence(first_doc_id/2^17, last_doc_id/2^17))
+               +- Union                                   <- one branch per chain segment
+                  :- Filter (term = 'zanpelmek')
+                  :  +- FileScan parquet [.../base/postings]
+                  :       PartitionFilters: [bucket = 6], PushedFilters: [EqualTo(term,zanpelmek)]
+                  +- Filter (term = 'zanpelmek')
+                     +- FileScan parquet [.../delta/postings]
+                          PartitionFilters: [bucket = 6], PushedFilters: [EqualTo(term,zanpelmek)]
+```
+
+What is NOT in the plan is the point:
+
+- **no tombstone scan** — the union dead set rides the session (computed
+  once at open; broadcast above 1M ids), and the (n_dead, dead_tokens)
+  stats correction is likewise frozen at open. Before round 4 every
+  chain query ran `read tombstones → dropDuplicates → agg → collect`
+  per segment (segments × QPS driver jobs under churn).
+- **no dictionary job** — warm terms come from the session's driver-side
+  term-meta cache (negative entries included: an OOV query term drops
+  out of the blocks filter entirely, which is why this capture shows a
+  single-term filter — the second term was OOV).
+- per-segment scans keep full pushdown (term EqualTo/In + bucket
+  partition pruning) because the union is of raw parquet scans, not a
+  materialized chain.
+
+Measured effect (bench §3e): chain p50 521 ms ≈ single-segment p50
+552 ms on the same box; pre-session chains paid the per-query tombstone
+jobs on top.
 """
 
 
