@@ -61,41 +61,24 @@ def _write_registry(index_root: str, reg: dict) -> None:
     os.replace(tmp, _registry_path(index_root))
 
 
-def live_segments(index_root: str) -> list[str]:
-    return [os.path.join(index_root, s) for s in read_registry(index_root)["segments"]]
-
-
-def ingest_batch(
-    spark: SparkSession,
-    batch_df: DataFrame,
-    index_root: str,
-    batch_id: int,
-    **build_kwargs,
-) -> dict | None:
-    """Index one (micro-)batch of pages as a delta segment. Idempotent per
-    batch_id. Returns the segment manifest, or None for an empty batch."""
-    from ..indexing.build import build_index, read_manifest
-    from ..query.bmw import load_tombstones  # noqa: F401 (registry debug aid)
-
-    if batch_df.isEmpty():
-        return None
-    os.makedirs(index_root, exist_ok=True)
+def live_segments(index_root: str, variant: str = "default") -> list[str]:
+    """Live segment chain for one analyzer variant (``default`` /
+    ``stopword`` — the reference's IndexName / IndexNameStopword)."""
     reg = read_registry(index_root)
-    seg_name = f"seg_b{batch_id:06d}"
-    seg_dir = os.path.join(index_root, seg_name)
-    if seg_name in reg["segments"] and os.path.exists(
-        os.path.join(seg_dir, "_manifest.json")
-    ):
-        return read_manifest(seg_dir)  # replayed batch: already committed
+    key = "segments_stopword" if variant == "stopword" else "segments"
+    return [os.path.join(index_root, s) for s in reg.get(key, [])]
 
-    # tombstone re-crawled urls in every earlier segment
-    urls = batch_df.select("url").distinct()
+
+def _tombstone_chain(
+    spark: SparkSession, index_root: str, names: list[str], urls
+) -> None:
     from pyspark.sql import functions as F
 
+    from ..indexing.build import read_docs
     from ..indexing.incremental import append_tombstones
 
-    for prev in reg["segments"]:
-        prev_docs = spark.read.parquet(os.path.join(index_root, prev, "docs"))
+    for prev in names:
+        prev_docs = read_docs(spark, os.path.join(index_root, prev))
         dead = prev_docs.join(F.broadcast(urls), "url", "left_semi").select(
             "doc_id", "doclen"
         )
@@ -103,15 +86,77 @@ def ingest_batch(
         # must not re-tombstone the same doc_ids and skew live-doc stats
         append_tombstones(spark, os.path.join(index_root, prev), dead)
 
-    man = build_index(
-        spark,
-        batch_df,
-        seg_dir,
-        base_doc_id=reg["doc_id_hi"] + 1,
-        **build_kwargs,
+
+def ingest_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    index_root: str,
+    batch_id: int,
+    dual: bool = False,
+    **build_kwargs,
+) -> dict | None:
+    """Index one (micro-)batch of pages as a delta segment — both analyzer
+    variants when ``dual`` (one single-pass dual build per batch, the
+    reference's IndexName + IndexNameStopword posture). Idempotent per
+    batch_id. Returns the (default-variant) segment manifest, or None for
+    an empty batch."""
+    from ..indexing.build import build_index, build_index_dual, read_manifest
+
+    if batch_df.isEmpty():
+        return None
+    os.makedirs(index_root, exist_ok=True)
+    reg = read_registry(index_root)
+    seg_name = f"seg_b{batch_id:06d}"
+    seg_dir = os.path.join(index_root, seg_name)
+    seg_name_stop = f"{seg_name}_stopword"
+    seg_dir_stop = os.path.join(index_root, seg_name_stop)
+    committed = seg_name in reg["segments"] and os.path.exists(
+        os.path.join(seg_dir, "_manifest.json")
     )
+    if dual:
+        committed = (
+            committed
+            and seg_name_stop in reg.get("segments_stopword", [])
+            and os.path.exists(os.path.join(seg_dir_stop, "_manifest.json"))
+        )
+    if committed:
+        return read_manifest(seg_dir)  # replayed batch: already committed
+
+    # tombstone re-crawled urls in every earlier segment, per variant
+    # chain (a dual registry's chains hold the same urls under different
+    # doc stats — each chain's own docs decide its dead doc_ids)
+    urls = batch_df.select("url").distinct()
+    _tombstone_chain(spark, index_root, reg["segments"], urls)
+    if dual:
+        _tombstone_chain(
+            spark, index_root, reg.get("segments_stopword", []), urls
+        )
+
+    if dual:
+        man, man_stop = build_index_dual(
+            spark,
+            batch_df,
+            seg_dir,
+            seg_dir_stop,
+            base_doc_id=reg["doc_id_hi"] + 1,
+            **build_kwargs,
+        )
+        reg["segments_stopword"] = sorted(
+            set(reg.get("segments_stopword", [])) | {seg_name_stop}
+        )
+        reg["dual"] = True
+        hi = max(man["doc_id_hi"], man_stop["doc_id_hi"])
+    else:
+        man = build_index(
+            spark,
+            batch_df,
+            seg_dir,
+            base_doc_id=reg["doc_id_hi"] + 1,
+            **build_kwargs,
+        )
+        hi = man["doc_id_hi"]
     reg["segments"] = sorted(set(reg["segments"]) | {seg_name})
-    reg["doc_id_hi"] = man["doc_id_hi"]
+    reg["doc_id_hi"] = hi
     _write_registry(index_root, reg)
     return man
 
@@ -153,22 +198,34 @@ def compact(
     **merge_kwargs,
 ) -> str:
     """Hierarchically merge all live segments (compacting tombstones) and
-    swap the registry to the single merged segment."""
+    swap the registry to the single merged segment — per analyzer variant
+    on a dual registry. Returns the merged default-variant path."""
+    import shutil
+
     from ..indexing.merge import hierarchical_merge
 
-    segs = live_segments(index_root)
-    if len(segs) <= 1:
-        return segs[0] if segs else ""
-    merged = hierarchical_merge(
-        spark, segs, os.path.join(index_root, "_merge"), **merge_kwargs
-    )
-    final = os.path.join(index_root, out_name)
-    if os.path.exists(final):
-        import shutil
-
-        shutil.rmtree(final)
-    os.replace(merged, final)
     reg = read_registry(index_root)
-    reg["segments"] = [out_name]
-    _write_registry(index_root, reg)
-    return final
+    variants = [("default", "segments", out_name)]
+    if reg.get("dual"):
+        variants.append(
+            ("stopword", "segments_stopword", f"{out_name}_stopword")
+        )
+    finals: dict[str, str] = {}
+    for variant, key, name in variants:
+        segs = live_segments(index_root, variant)
+        if len(segs) <= 1:
+            finals[variant] = segs[0] if segs else ""
+            continue
+        merged = hierarchical_merge(
+            spark, segs, os.path.join(index_root, f"_merge_{variant}"),
+            **merge_kwargs,
+        )
+        final = os.path.join(index_root, name)
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.replace(merged, final)
+        reg = read_registry(index_root)
+        reg[key] = [name]
+        _write_registry(index_root, reg)
+        finals[variant] = final
+    return finals["default"]
