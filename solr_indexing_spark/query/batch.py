@@ -41,12 +41,17 @@ from ..textprep import ANALYZERS
 from .bmw import (
     _INF,
     _TermCursor,
-    _auto_shard_range,
     TERM_META_CACHE_CAP,
     TombstoneFrame,
     load_tombstones,
     shard_topk_auto,
 )
+
+#: shard-width floor for the batch path (the single-query path keeps its
+#: 2^17 floor in bmw.MIN_SHARD_RANGE — there one task per query is fine
+#: because job launch dominates; a batch runs Q kernels per shard, so it
+#: subdivides doc ranges down to this width to parallelize them).
+BATCH_MIN_SHARD_RANGE = 1 << 10
 
 
 def _resolve_term_meta(
@@ -113,8 +118,24 @@ def _topk_batch_impl(
     """
     num_buckets = man["num_buckets"]
     avgdl = man["avgdl"]
+    span = int(man.get("doc_id_hi", -1)) - int(man.get("doc_id_base", 0)) + 1
+    if span <= 0:
+        span = max(int(man.get("n_docs", 0)), 1)
+    par = max(spark.sparkContext.defaultParallelism, 1)
     if shard_range is None:
-        shard_range = _auto_shard_range(man, spark)
+        # finer doc-range sharding than the single-query path: the batch
+        # kernel cost is real (Q kernels per shard), so the width targets
+        # ~2 tasks per core WITHOUT the single-query 2^17 floor — doc
+        # subdivision parallelizes the kernels with no block replication
+        # (a block lands only on the ≤ (128/width + 1) shards it
+        # overlaps), unlike the query-group axis below, which replicates
+        # shared terms' blocks per group and made total work grow with
+        # core count. The 1024 floor bounds a corpus-spanning rare-term
+        # block's fan-out at span/1024 ≤ 2·par rows.
+        want = -(-span // (2 * par))
+        shard_range = BATCH_MIN_SHARD_RANGE
+        while shard_range < want:
+            shard_range <<= 1
 
     int_ids = all(isinstance(q, int) for q in queries)
     qid_type = T.LongType() if int_ids else T.StringType()
@@ -156,20 +177,15 @@ def _topk_batch_impl(
     buckets = sorted({_term_bucket_py(t, num_buckets) for t in live_terms})
 
     # ---- parallelism: (query group × doc-range shard) ------------------
-    # Doc-range sharding alone under-parallelizes small doc spans: below
-    # the 2^17 shard-width floor the WHOLE batch is one task running Q
-    # kernels serially. Queries are an independent axis the batch can
-    # split on — partition them into G groups sized so G × n_shards ≈
-    # 2 × parallelism, and ship each group ONLY its own queries' term
-    # blocks (broadcast join on a tiny (term, group) table; a term shared
-    # across groups replicates to each). At 10^12-doc spans n_shards
-    # already saturates the cluster, G collapses to 1 and the plan is the
-    # pure doc-range one — no replication, no extra join.
-    span = int(man.get("doc_id_hi", -1)) - int(man.get("doc_id_base", 0)) + 1
-    if span <= 0:
-        span = max(int(man.get("n_docs", 0)), 1)
+    # Doc-range subdivision (above) is the primary axis — it adds tasks
+    # without replicating blocks. The query-group axis is the fallback
+    # for degenerate spans (corpus smaller than the shard floor): split
+    # queries into G groups so G × n_shards ≈ 2 × parallelism, shipping
+    # each group ONLY its own queries' term blocks (broadcast join on a
+    # tiny (term, group) table). Replicating shared terms per group costs
+    # duplicate shuffle + decode, so G stays 1 whenever doc sharding
+    # already saturates the cores.
     n_shards = max(-(-span // shard_range), 1)
-    par = max(spark.sparkContext.defaultParallelism, 1)
     n_groups = max(min(-(-2 * par // n_shards), len(q_terms)), 1)
     qids_sorted = sorted(q_terms)
     q_group = {qid: i % n_groups for i, qid in enumerate(qids_sorted)}
@@ -254,6 +270,9 @@ def _topk_batch_impl(
                 for r in g.itertuples()
             ]
         out_q, out_d, out_s = [], [], []
+        # shared across this task's queries: a hot term's blocks decode
+        # once, not once per query that references it
+        decode_cache: dict = {}
         for qid in group_qids.get(group, ()):
             cursors = []
             for t in q_terms[qid]:
@@ -267,7 +286,8 @@ def _topk_batch_impl(
             if not cursors:
                 continue
             for d, s in shard_topk_auto(
-                cursors, kk, avg, dead=dead_local, lo=lo, hi=hi
+                cursors, kk, avg, dead=dead_local, lo=lo, hi=hi,
+                decode_cache=decode_cache,
             ):
                 out_q.append(qid)
                 out_d.append(d)

@@ -185,12 +185,49 @@ def bmw_shard_topk(
 DENSE_MIN_POSTINGS = 256
 DENSE_TOTAL_POSTINGS = 4096
 
+#: widest shard span the TAAT kernel accumulates into a dense per-doc
+#: array (np.bincount): 2^22 doubles = 32 MB per in-flight query — above
+#: this the kernel falls back to the sort-merge accumulation. The auto
+#: shard width (span / 4·parallelism) crosses this only on corpora past
+#: ~10^9 docs per 4·parallelism, where per-term in-shard postings are
+#: large enough that the sort-merge is the right tool anyway.
+DENSE_ACCUM_SPAN_MAX = 1 << 22
+
 
 def _blocks_in_range(cursor: _TermCursor, lo: int, hi: int):
     for blk in cursor.blocks:
         if blk[1] < lo or blk[0] >= hi:
             continue
         yield blk
+
+
+def _decode_term_range(
+    blocks: list, avgdl: float, lo: int, hi: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(doc_ids, idf-independent base scores) for one term's postings in
+    [lo, hi) — the per-term constant the TAAT kernel multiplies by idf.
+    Cacheable per (term blocks, shard): queries sharing a term in a batch
+    reuse the decode instead of re-running it per query."""
+    ids_list, sc_list = [], []
+    for first, last, n, gaps, tf_buf, dl_buf, _bmax in blocks:
+        if last < lo or first >= hi:
+            continue
+        ids = delta_decode(first, gaps, n).astype(np.int64)
+        tfs = vbyte_decode(tf_buf).astype(np.float64)
+        dls = vbyte_decode(dl_buf).astype(np.float64)
+        sc = tfs * (K1 + 1.0) / (tfs + K1 * (1.0 - B + B * dls / avgdl))
+        if first < lo or last >= hi:
+            m = (ids >= lo) & (ids < hi)
+            ids, sc = ids[m], sc[m]
+        if len(ids):
+            ids_list.append(ids)
+            sc_list.append(sc)
+    if not ids_list:
+        return (
+            np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=np.float64),
+        )
+    return np.concatenate(ids_list), np.concatenate(sc_list)
 
 
 def taat_shard_topk(
@@ -200,6 +237,7 @@ def taat_shard_topk(
     dead=frozenset(),
     lo: int = 0,
     hi: int = _INF,
+    decode_cache: dict | None = None,
 ) -> list[tuple[int, float]]:
     """Exact top-k within one shard via vectorized term-at-a-time scoring —
     the dense-query complement to :func:`bmw_shard_topk`.
@@ -210,34 +248,49 @@ def taat_shard_topk(
     postings in numpy, accumulate per doc with a stable sort + reduceat
     (summation order = sorted-term order, matching the WAND kernel's
     contributor order), then lexsort the top-k out. No skipping — which is
-    exactly right when no term is selective enough to skip."""
+    exactly right when no term is selective enough to skip.
+
+    ``decode_cache``: optional dict shared across a batch's queries within
+    one shard task — terms common to several queries decode once (the
+    cached (ids, base-score) pair is idf-independent)."""
     ids_list, sc_list = [], []
     for c in cursors:
-        for first, last, n, gaps, tf_buf, dl_buf, _bmax in _blocks_in_range(
-            c, lo, hi
-        ):
-            ids = delta_decode(first, gaps, n).astype(np.int64)
-            tfs = vbyte_decode(tf_buf).astype(np.float64)
-            dls = vbyte_decode(dl_buf).astype(np.float64)
-            sc = (
-                c.idf * tfs * (K1 + 1.0)
-                / (tfs + K1 * (1.0 - B + B * dls / avgdl))
-            )
-            if first < lo or last >= hi:
-                m = (ids >= lo) & (ids < hi)
-                ids, sc = ids[m], sc[m]
-            if len(ids):
-                ids_list.append(ids)
-                sc_list.append(sc)
+        if decode_cache is not None:
+            key = id(c.blocks)
+            pair = decode_cache.get(key)
+            if pair is None:
+                pair = _decode_term_range(c.blocks, avgdl, lo, hi)
+                decode_cache[key] = pair
+            t_ids, t_base = pair
+        else:
+            t_ids, t_base = _decode_term_range(c.blocks, avgdl, lo, hi)
+        if len(t_ids):
+            ids_list.append(t_ids)
+            sc_list.append(c.idf * t_base)
     if not ids_list:
         return []
     ids = np.concatenate(ids_list)
     sc = np.concatenate(sc_list)
-    order = np.argsort(ids, kind="stable")
-    ids, sc = ids[order], sc[order]
-    starts = np.concatenate(([0], np.nonzero(np.diff(ids))[0] + 1))
-    uids = ids[starts]
-    totals = np.add.reduceat(sc, starts)
+    span = hi - lo
+    if 0 < span <= DENSE_ACCUM_SPAN_MAX:
+        # bounded shard span: accumulate into a dense per-doc array
+        # (bincount is a C loop — ~10-50× cheaper and far less DRAM
+        # traffic than the sort-merge below; BM25 scores are strictly
+        # positive, so nonzero ⇔ has ≥1 posting). Summation order per doc
+        # is posting order = sorted-term concatenation order, same as the
+        # sort-merge path.
+        dense = np.bincount(ids - lo, weights=sc, minlength=span)
+        nz = np.nonzero(dense)[0]
+        uids = nz + lo
+        totals = dense[nz]
+    else:
+        # unbounded/huge spans (auto shard width grows with corpus doc
+        # span): stable sort-merge of the pre-sorted per-term runs
+        order = np.argsort(ids, kind="stable")
+        ids, sc = ids[order], sc[order]
+        starts = np.concatenate(([0], np.nonzero(np.diff(ids))[0] + 1))
+        uids = ids[starts]
+        totals = np.add.reduceat(sc, starts)
     if dead:
         if isinstance(dead, BroadcastDeadSet):
             darr = dead.to_array()
@@ -264,6 +317,7 @@ def shard_topk_auto(
     dead=frozenset(),
     lo: int = 0,
     hi: int = _INF,
+    decode_cache: dict | None = None,
 ) -> list[tuple[int, float]]:
     """Cost-based kernel choice per (query, shard) — MaxScore-style
     reasoning, deterministic from block statistics so repeated runs pick
@@ -280,7 +334,10 @@ def shard_topk_auto(
         min(per_term) >= DENSE_MIN_POSTINGS
         and sum(per_term) >= DENSE_TOTAL_POSTINGS
     ):
-        return taat_shard_topk(cursors, k, avgdl, dead=dead, lo=lo, hi=hi)
+        return taat_shard_topk(
+            cursors, k, avgdl, dead=dead, lo=lo, hi=hi,
+            decode_cache=decode_cache,
+        )
     return bmw_shard_topk(cursors, k, avgdl, dead=dead)
 
 
