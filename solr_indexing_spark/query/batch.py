@@ -372,3 +372,43 @@ def topk_batch(
         shard_range,
         dead=load_tombstones(spark, index_dir),
     )
+
+
+def topk_batch_boosted(
+    spark: SparkSession,
+    index_dir: str,
+    queries: dict,
+    boosts,
+    k: int = 10,
+    boost_weight: float = 1.0,
+    shard_range: int | None = None,
+) -> DataFrame:
+    """Batched boosted mode — ``bmw.topk_boosted``'s two-stage rescoring
+    (over-fetched pure-BM25 window + additive per-doc static prior,
+    SURVEY §7.4) for a whole query set in ONE job: the over-fetch rides
+    the batch plan, the boost joins once (broadcast), the re-rank is the
+    same per-query window top-k. Rank-identical to Q independent
+    ``topk_boosted`` calls."""
+    base = topk_batch(
+        spark, index_dir, queries, k=max(k * 10, 100),
+        shard_range=shard_range,
+    )
+    boosts = boosts.select(
+        F.col("doc_id"), F.col("boost").cast("double").alias("boost")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        base.join(F.broadcast(boosts), "doc_id", "left")
+        .withColumn(
+            "score",
+            F.col("score")
+            + F.lit(float(boost_weight)) * F.coalesce("boost", F.lit(0.0)),
+        )
+        .select("query_id", "doc_id", "score")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+        .orderBy("query_id", F.desc("score"), F.asc("doc_id"))
+    )

@@ -169,3 +169,28 @@ def test_chain_batch_large_churn_tombstoneframe(spark, pages_df, tmp_path_factor
         )
     )
     assert got == want
+
+
+def test_batch_boosted_matches_per_query(spark, index_dir):  # noqa: F811
+    """topk_batch_boosted == Q independent topk_boosted calls (same
+    over-fetch window, same additive prior, same tie-breaks)."""
+    from pyspark.sql import functions as F
+
+    from solr_indexing_spark.query.batch import topk_batch_boosted
+    from solr_indexing_spark.query.bmw import topk_boosted
+
+    docs = spark.read.parquet(f"{index_dir}/docs")
+    boosts = docs.select(
+        "doc_id", ((F.col("doc_id") % 7) * F.lit(0.4)).alias("boost")
+    )
+    queries = {i: q for i, q in enumerate(QUERIES[:5])}
+    got = _rows(
+        topk_batch_boosted(spark, index_dir, queries, boosts, k=10)
+    )
+    want = []
+    for qid in sorted(queries):
+        for r in topk_boosted(
+            spark, index_dir, queries[qid], boosts, k=10
+        ).collect():
+            want.append((qid, r["doc_id"], round(r["score"], 9)))
+    assert got == want and len(got) > 0
