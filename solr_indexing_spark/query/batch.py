@@ -53,6 +53,13 @@ from .bmw import (
 #: subdivides doc ranges down to this width to parallelize them).
 BATCH_MIN_SHARD_RANGE = 1 << 10
 
+#: above this many distinct terms the postings pruning switches from a
+#: literal IN-list (parquet row-group pushdown, right for interactive
+#: term counts) to a broadcast semi-join (a 40k-literal IN-list from a
+#: 10k-query batch bloats analysis and the task binary; at that scale
+#: the IN-set covers most row groups anyway, so pushdown buys little).
+TERM_ISIN_MAX = 256
+
 
 def _resolve_term_meta(
     man: dict,
@@ -80,11 +87,23 @@ def _resolve_term_meta(
         }
     if misses:
         buckets = sorted({_term_bucket_py(t, num_buckets) for t in misses})
-        dict_rows = (
-            dictionary
-            .filter(F.col("bucket").isin(buckets) & F.col("term").isin(misses))
-            .collect()
-        )
+        d = dictionary.filter(F.col("bucket").isin(buckets))
+        if len(misses) <= TERM_ISIN_MAX:
+            d = d.filter(F.col("term").isin(misses))
+        else:
+            # huge miss sets (first call of a large batch): broadcast
+            # semi-join instead of a many-thousand-literal IN-list
+            spark = dictionary.sparkSession
+            d = d.join(
+                F.broadcast(
+                    spark.createDataFrame(
+                        [(t,) for t in misses], "term string"
+                    )
+                ),
+                "term",
+                "left_semi",
+            )
+        dict_rows = d.collect()
         found = {}
         for r in dict_rows:
             idf = math.log(1.0 + (n_docs - r["df"] + 0.5) / (r["df"] + 0.5))
@@ -190,11 +209,21 @@ def _topk_batch_impl(
     qids_sorted = sorted(q_terms)
     q_group = {qid: i % n_groups for i, qid in enumerate(qids_sorted)}
 
-    blocks = (
-        postings
-        .filter(
-            F.col("bucket").isin(buckets) & F.col("term").isin(live_terms)
+    pruned = postings.filter(F.col("bucket").isin(buckets))
+    if len(live_terms) <= TERM_ISIN_MAX:
+        pruned = pruned.filter(F.col("term").isin(live_terms))
+    else:
+        pruned = pruned.join(
+            F.broadcast(
+                spark.createDataFrame(
+                    [(t,) for t in live_terms], "term string"
+                )
+            ),
+            "term",
+            "left_semi",
         )
+    blocks = (
+        pruned
         .select(
             "term", "block_id", "first_doc_id", "last_doc_id", "n_docs",
             "doc_gaps", "tfs", "doclens", "block_max_tf_norm",

@@ -194,3 +194,16 @@ def test_batch_boosted_matches_per_query(spark, index_dir):  # noqa: F811
         ).collect():
             want.append((qid, r["doc_id"], round(r["score"], 9)))
     assert got == want and len(got) > 0
+
+
+def test_batch_semi_join_term_pruning(spark, index_dir, monkeypatch):  # noqa: F811
+    """Above TERM_ISIN_MAX distinct terms the postings/dictionary pruning
+    switches from an IN-list to a broadcast semi-join — results must be
+    identical on both paths."""
+    from solr_indexing_spark.query import batch as batch_mod
+
+    queries = {i: q for i, q in enumerate(QUERIES[:6])}
+    want = _rows(topk_batch(spark, index_dir, queries, k=10))
+    monkeypatch.setattr(batch_mod, "TERM_ISIN_MAX", 1)
+    got = _rows(topk_batch(spark, index_dir, queries, k=10))
+    assert got == want and len(got) > 0
