@@ -39,6 +39,17 @@ def serve(spark, args) -> None:
 
     from solr_indexing_spark.indexing.build import read_docs
 
+    def _docs_of(dirs):
+        docs = read_docs(spark, dirs[0]).select("doc_id", "url")
+        for d in dirs[1:]:
+            docs = docs.unionByName(
+                read_docs(spark, d).select("doc_id", "url")
+            )
+        # the url join runs per request — cache the 2-column projection
+        # like the session caches the dictionary (MEMORY_AND_DISK by
+        # default, so a corpus-scale docs table spills rather than OOMs)
+        return docs.persist()
+
     job_sess = None
     if os.path.exists(f"{args.index}/_job_manifest.json"):
         from solr_indexing_spark.ingest import JobSession
@@ -53,19 +64,22 @@ def serve(spark, args) -> None:
         dirs = [resolve_index(args.index, args.analyzer)]
         sess = SegmentsSession(spark, dirs)
 
-    docs = read_docs(spark, dirs[0]).select("doc_id", "url")
-    for d in dirs[1:]:
-        docs = docs.unionByName(read_docs(spark, d).select("doc_id", "url"))
-    # the url join runs per request — cache the 2-column projection like
-    # the session caches the dictionary (MEMORY_AND_DISK by default, so a
-    # corpus-scale docs table spills rather than OOMs)
-    docs = docs.persist()
+    docs = _docs_of(dirs)
 
     for line in sys.stdin:
         req = line.strip()
         if not req:
             continue
         try:
+            # a partial re-index / compaction changes the chain under a
+            # warm server; the staleness probe is file metadata only, so
+            # checking per request keeps the session current without
+            # re-opening on the hot path
+            if job_sess is not None and job_sess.stale():
+                job_sess = job_sess.reopen()
+                sess = job_sess.segments
+                docs.unpersist()
+                docs = _docs_of(job_sess.seg_dirs)
             if req.startswith("complete "):
                 prefix = req[len("complete "):]
                 if job_sess is None:

@@ -499,7 +499,10 @@ class JobSession:
         self.spark = spark
         self.out_dir = out_dir
         self.analyzer = analyzer or "default"
+        self._cache_dictionary = cache_dictionary
+        self._cache_postings = cache_postings
         variant = "index_stopword" if analyzer == "stopword" else "index"
+        self._variant = variant
         self.seg_dirs = job_segments(out_dir, variant)
         self.segments = SegmentsSession(
             spark,
@@ -508,7 +511,8 @@ class JobSession:
             cache_postings=cache_postings,
         )
         self._completion = None
-        tables = completion_tables(out_dir)
+        self._completion_tables = completion_tables(out_dir)
+        tables = self._completion_tables
         if tables:
             src = spark.read.parquet(tables[0]).select(
                 "input", "weight", "display"
@@ -518,6 +522,50 @@ class JobSession:
                     spark.read.parquet(t).select("input", "weight", "display")
                 )
             self._completion = src.persist()
+        # generation snapshot for staleness detection: the chain's segment
+        # set + per-segment tombstone row counts + completion table set —
+        # everything a partial re-index, streaming append or compaction
+        # changes. Cheap to recompute (directory listing + parquet footer
+        # metadata counts), no Spark job.
+        self._generation = self._current_generation()
+
+    def _current_generation(self) -> tuple:
+        import glob as _glob
+
+        tomb_counts = []
+        for d in job_segments(self.out_dir, self._variant):
+            n = 0
+            for f in sorted(_glob.glob(f"{d}/tombstones/*.parquet")):
+                try:
+                    import pyarrow.parquet as pq
+
+                    n += pq.ParquetFile(f).metadata.num_rows
+                except Exception:  # noqa: BLE001 — file mid-write
+                    n += 1
+            tomb_counts.append((d, n))
+        return (
+            tuple(tomb_counts),
+            tuple(completion_tables(self.out_dir)),
+        )
+
+    def stale(self) -> bool:
+        """True when the job changed under this session (partial
+        re-index, compaction, completion delta) — serve loops call this
+        per request (file metadata only, no Spark job) and ``reopen()``
+        when it flips."""
+        return self._generation != self._current_generation()
+
+    def reopen(self) -> "JobSession":
+        """Fresh session over the job's CURRENT generation (the old one
+        is closed). Returns the new session."""
+        self.close()
+        return JobSession(
+            self.spark,
+            self.out_dir,
+            analyzer=None if self.analyzer == "default" else self.analyzer,
+            cache_dictionary=self._cache_dictionary,
+            cache_postings=self._cache_postings,
+        )
 
     def topk(self, query: str, k: int = 10) -> DataFrame:
         """BM25 top-k (doc_id, score) over the variant's live chain."""

@@ -699,3 +699,40 @@ def test_serve_loop_error_handling(spark, tmp_path, monkeypatch, capsys):
     err, ok = _json.loads(lines[0]), _json.loads(lines[1])
     assert "error" in err and err["request"] == "complete foo"
     assert len(ok["hits"]) == 1 and "00000007" in ok["hits"][0]["url"]
+
+
+def test_job_session_staleness_and_reopen(spark, tmp_path):
+    """A warm JobSession detects a partial re-index / compaction under it
+    (file metadata only) and reopen() serves the new generation."""
+    from solr_indexing_spark.ingest import (
+        JobSession,
+        run_ingest_compact,
+        run_ingest_partial,
+    )
+
+    out = str(tmp_path / "stalejob")
+    run_ingest(spark, _packed(spark, n=20), "case_laws", out, templateid="T")
+    js = JobSession(spark, out)
+    try:
+        assert not js.stale()
+        assert len(js.topk("zq4", k=5).collect()) == 1
+        assert js.stale() is False  # queries don't flip it
+
+        run_ingest_partial(
+            spark, _packed_update(spark, [4], "stalefour", n=20),
+            "case_laws", out, templateid="T",
+        )
+        assert js.stale() is True
+        js = js.reopen()
+        assert not js.stale()
+        # the OLD doc 4 is gone, the new version serves
+        assert js.topk("zq4", k=5).collect() == []
+        assert len(js.topk("stalefour", k=5).collect()) == 1
+
+        run_ingest_compact(spark, out)
+        assert js.stale() is True
+        js = js.reopen()
+        assert js.seg_dirs == [f"{out}/index"]
+        assert len(js.topk("stalefour", k=5).collect()) == 1
+    finally:
+        js.close()
