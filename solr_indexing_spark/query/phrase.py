@@ -131,66 +131,365 @@ def phrase_topk(
         t: [off - base_off for off, q in pairs if q == t] for t in uniq
     }
     kk, rr, avg = k, shard_range, avgdl
-    idf_b, dead_b, uniq_b, offs_b = idf, dead, uniq, offsets
+    idf_b, uniq_b, offs_b = idf, uniq, offsets
 
-    def run_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+    def run_shard(pdf: pd.DataFrame, dead_local) -> pd.DataFrame:
         shard = int(pdf["shard"].iloc[0])
         lo, hi = shard * rr, (shard + 1) * rr
         per_term = {}
         for term, g in pdf.groupby("term", sort=True):
             per_term[term] = _decode_shard_postings(g, lo, hi)
-        if set(per_term) != set(uniq_b):
-            return pd.DataFrame({"doc_id": [], "score": []}).astype(
-                {"doc_id": "int64", "score": "float64"}
-            )
-        # conjunction: iterate the smallest term's docs
-        smallest = min(per_term.values(), key=len)
-        results = []
-        for doc, (tf0, dl, _) in smallest.items():
-            if doc in dead_b:
-                continue
-            entries = {}
-            ok = True
-            for t in uniq_b:
-                e = per_term[t].get(doc)
-                if e is None:
-                    ok = False
-                    break
-                entries[t] = e
-            if not ok:
-                continue
-            # adjacency: starts = positions of terms[0] at offset 0; a start
-            # p matches iff every term t has p+off for each of t's offsets
-            first_t = None
-            for t, offs in offs_b.items():
-                if 0 in offs:
-                    first_t = t
-                    break
-            starts = entries[first_t][2]
-            possets = {t: entries[t][2] for t in uniq_b}
-            matched = False
-            for p in starts:
-                if all(
-                    np.any(possets[t] == p + off)
-                    for t, offs in offs_b.items()
-                    for off in offs
-                ):
-                    matched = True
-                    break
-            if not matched:
-                continue
-            score = math.fsum(
-                idf_b[t]
-                * entries[t][0]
-                * (K1 + 1.0)
-                / (entries[t][0] + K1 * (1.0 - B + B * entries[t][1] / avg))
-                for t in uniq_b
-            )
-            results.append((doc, score))
-        results.sort(key=lambda x: (-x[1], x[0]))
-        return pd.DataFrame(results[:kk], columns=["doc_id", "score"]).astype(
+        results = _phrase_shard_kernel(
+            per_term, uniq_b, offs_b, idf_b, kk, avg, dead_local
+        )
+        return pd.DataFrame(results, columns=["doc_id", "score"]).astype(
             {"doc_id": "int64", "score": "float64"}
         )
 
-    candidates = blocks.groupBy("shard").applyInPandas(run_shard, _OUT)
+    from .bmw import TombstoneFrame
+
+    if isinstance(dead, TombstoneFrame):
+        # large-churn path: the dead set stays a DataFrame, shuffled once
+        # by the same shard key and cogrouped (same shape as bmw/batch —
+        # the closure form would need a __contains__ the frame cannot
+        # offer without a driver collect)
+        dead_by_shard = dead.df.select(
+            (F.col("doc_id") / F.lit(shard_range)).cast("long").alias("shard"),
+            "doc_id",
+        )
+
+        def run_cg(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            if not len(left):
+                return pd.DataFrame({"doc_id": [], "score": []}).astype(
+                    {"doc_id": "int64", "score": "float64"}
+                )
+            return run_shard(
+                left, frozenset(int(x) for x in right["doc_id"])
+            )
+
+        candidates = (
+            blocks.groupBy("shard")
+            .cogroup(dead_by_shard.groupBy("shard"))
+            .applyInPandas(run_cg, _OUT)
+        )
+    else:
+        dead_b = dead
+
+        def run(pdf: pd.DataFrame) -> pd.DataFrame:
+            return run_shard(pdf, dead_b)
+
+        candidates = blocks.groupBy("shard").applyInPandas(run, _OUT)
     return candidates.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def _phrase_shard_kernel(
+    per_term: dict,
+    uniq: list[str],
+    offsets: dict,
+    idf: dict,
+    k: int,
+    avgdl: float,
+    dead,
+) -> list[tuple[int, float]]:
+    """Conjunction + adjacency + BM25 within one shard's decoded postings
+    (``per_term``: {term: {doc: (tf, dl, positions)}}). Shared by the
+    single-phrase and batched paths so semantics can never diverge."""
+    if any(t not in per_term for t in uniq):
+        return []  # AND semantics: a term absent from the shard → no doc
+    # conjunction: iterate the smallest term's docs
+    smallest = min((per_term[t] for t in uniq), key=len)
+    # starts come from a term that sits at offset 0 of the phrase
+    first_t = None
+    for t in uniq:
+        if 0 in offsets[t]:
+            first_t = t
+            break
+    results = []
+    for doc in smallest:
+        if doc in dead:
+            continue
+        entries = {}
+        ok = True
+        for t in uniq:
+            e = per_term[t].get(doc)
+            if e is None:
+                ok = False
+                break
+            entries[t] = e
+        if not ok:
+            continue
+        # adjacency: a start p matches iff every term t has p+off for
+        # each of t's phrase offsets
+        starts = entries[first_t][2]
+        possets = {t: entries[t][2] for t in uniq}
+        matched = False
+        for p in starts:
+            if all(
+                np.any(possets[t] == p + off)
+                for t in uniq
+                for off in offsets[t]
+            ):
+                matched = True
+                break
+        if not matched:
+            continue
+        score = math.fsum(
+            idf[t]
+            * entries[t][0]
+            * (K1 + 1.0)
+            / (entries[t][0] + K1 * (1.0 - B + B * entries[t][1] / avgdl))
+            for t in uniq
+        )
+        results.append((doc, score))
+    results.sort(key=lambda x: (-x[1], x[0]))
+    return results[:k]
+
+
+def phrase_topk_batch(
+    spark: SparkSession,
+    index_dir: str,
+    phrases: dict,
+    k: int = 10,
+    shard_range: int | None = None,
+) -> DataFrame:
+    """Batched exact-phrase top-k — P phrases in ONE Spark job, the
+    phrase twin of ``query/batch.topk_batch`` (same grid: union-of-terms
+    pruned positional scan → (query-group × doc-range-shard) tasks →
+    per-phrase kernels over the shard's SHARED decoded postings →
+    window top-k per phrase). Rank-identical to P independent
+    ``phrase_topk`` calls.
+
+    ``phrases``: {query_id: phrase string}. Output (query_id, doc_id,
+    score); phrases with any dictionary-missing term yield no rows (AND
+    semantics). query_id is long when every id is an int, else string.
+    """
+    from .batch import BATCH_MIN_SHARD_RANGE, TERM_ISIN_MAX
+    from .bmw import TombstoneFrame
+
+    man = read_manifest(index_dir)
+    if not man.get("positions"):
+        raise ValueError(
+            f"segment {index_dir} was built without positions "
+            "(build_index(store_positions=True))"
+        )
+    num_buckets = man["num_buckets"]
+    n_docs, avgdl = man["n_docs"], man["avgdl"]
+    span = int(man.get("doc_id_hi", -1)) - int(man.get("doc_id_base", 0)) + 1
+    if span <= 0:
+        span = max(int(man.get("n_docs", 0)), 1)
+    par = max(spark.sparkContext.defaultParallelism, 1)
+    if shard_range is None:
+        want = -(-span // (2 * par))
+        shard_range = BATCH_MIN_SHARD_RANGE
+        while shard_range < want:
+            shard_range <<= 1
+
+    int_ids = all(isinstance(q, int) for q in phrases)
+    qid_type = T.LongType() if int_ids else T.StringType()
+    empty = spark.createDataFrame(
+        [],
+        T.StructType(
+            [
+                T.StructField("query_id", qid_type, False),
+                T.StructField("doc_id", T.LongType(), False),
+                T.StructField("score", T.DoubleType(), False),
+            ]
+        ),
+    )
+
+    offtok = QUERY_OFFSET_TOKENIZERS.get(
+        man.get("analyzer", "default"), tokenize_offsets_str
+    )
+    per_q: dict = {}  # qid -> (uniq terms, offsets)
+    for qid, phrase in phrases.items():
+        key = qid if int_ids else str(qid)
+        pairs = offtok(phrase)
+        if not pairs:
+            continue
+        base_off = pairs[0][0]
+        terms = [t for _, t in pairs]
+        uniq = sorted(set(terms))
+        offs = {
+            t: [off - base_off for off, q in pairs if q == t] for t in uniq
+        }
+        per_q[key] = (uniq, offs)
+    if not per_q:
+        return empty
+
+    all_terms = sorted({t for uniq, _ in per_q.values() for t in uniq})
+    buckets = sorted({_term_bucket_py(t, num_buckets) for t in all_terms})
+    d = spark.read.parquet(f"{index_dir}/dictionary").filter(
+        F.col("bucket").isin(buckets)
+    )
+    if len(all_terms) <= TERM_ISIN_MAX:
+        d = d.filter(F.col("term").isin(all_terms))
+    else:
+        d = d.join(
+            F.broadcast(
+                spark.createDataFrame(
+                    [(t,) for t in all_terms], "term string"
+                )
+            ),
+            "term",
+            "left_semi",
+        )
+    dict_rows = d.collect()
+    idf = {
+        r["term"]: math.log(1.0 + (n_docs - r["df"] + 0.5) / (r["df"] + 0.5))
+        for r in dict_rows
+    }
+    # AND semantics per phrase: any dictionary-missing term → drop it
+    per_q = {
+        qid: (uniq, offs)
+        for qid, (uniq, offs) in per_q.items()
+        if all(t in idf for t in uniq)
+    }
+    if not per_q:
+        return empty
+    live_terms = sorted({t for uniq, _ in per_q.values() for t in uniq})
+    buckets = sorted({_term_bucket_py(t, num_buckets) for t in live_terms})
+
+    n_shards = max(-(-span // shard_range), 1)
+    n_groups = max(min(-(-2 * par // n_shards), len(per_q)), 1)
+    qids_sorted = sorted(per_q)
+    q_group = {qid: i % n_groups for i, qid in enumerate(qids_sorted)}
+    group_qids: dict = {}
+    for qid in qids_sorted:
+        group_qids.setdefault(q_group[qid], []).append(qid)
+
+    pruned = spark.read.parquet(f"{index_dir}/postings").filter(
+        F.col("bucket").isin(buckets)
+    )
+    if len(live_terms) <= TERM_ISIN_MAX:
+        pruned = pruned.filter(F.col("term").isin(live_terms))
+    else:
+        pruned = pruned.join(
+            F.broadcast(
+                spark.createDataFrame(
+                    [(t,) for t in live_terms], "term string"
+                )
+            ),
+            "term",
+            "left_semi",
+        )
+    blocks = (
+        pruned.select(
+            "term", "first_doc_id", "last_doc_id", "n_docs",
+            "doc_gaps", "tfs", "doclens", "positions", "pos_counts",
+        )
+        .withColumn(
+            "shard",
+            F.explode(
+                F.sequence(
+                    (F.col("first_doc_id") / shard_range).cast("long"),
+                    (F.col("last_doc_id") / shard_range).cast("long"),
+                )
+            ),
+        )
+    )
+    if n_groups > 1:
+        term_group_rows = sorted(
+            {
+                (t, q_group[qid])
+                for qid, (uniq, _) in per_q.items()
+                for t in uniq
+            }
+        )
+        blocks = blocks.join(
+            F.broadcast(
+                spark.createDataFrame(
+                    term_group_rows, "term string, qgroup int"
+                )
+            ),
+            "term",
+        )
+    else:
+        blocks = blocks.withColumn("qgroup", F.lit(0))
+    n_parts = max(min(n_groups * n_shards, 4 * par), 1)
+    blocks = blocks.repartition(n_parts, "qgroup", "shard")
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", qid_type, False),
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("score", T.DoubleType(), False),
+        ]
+    )
+    kk, rr, avg = k, shard_range, avgdl
+    qid_dtype = "int64" if int_ids else "object"
+
+    def shard_batch(pdf: pd.DataFrame, dead_local) -> pd.DataFrame:
+        shard = int(pdf["shard"].iloc[0])
+        group = int(pdf["qgroup"].iloc[0])
+        lo, hi = shard * rr, (shard + 1) * rr
+        # positional decode ONCE per (group, shard); every phrase in the
+        # group shares it — the expensive half of phrase evaluation
+        per_term = {}
+        for term, g in pdf.groupby("term", sort=True):
+            per_term[term] = _decode_shard_postings(g, lo, hi)
+        out_q, out_d, out_s = [], [], []
+        for qid in group_qids.get(group, ()):
+            uniq, offs = per_q[qid]
+            for doc, score in _phrase_shard_kernel(
+                per_term, uniq, offs, idf, kk, avg, dead_local
+            ):
+                out_q.append(qid)
+                out_d.append(doc)
+                out_s.append(score)
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series(out_q, dtype=qid_dtype),
+                "doc_id": pd.Series(out_d, dtype="int64"),
+                "score": pd.Series(out_s, dtype="float64"),
+            }
+        )
+
+    dead = load_tombstones(spark, index_dir)
+    if isinstance(dead, TombstoneFrame):
+        dead_by_shard = dead.df.select(
+            (F.col("doc_id") / F.lit(shard_range)).cast("long").alias("shard"),
+            "doc_id",
+        ).withColumn(
+            "qgroup",
+            F.explode(F.lit(list(range(n_groups))).cast("array<int>")),
+        )
+
+        def run_cg(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            if not len(left):
+                return pd.DataFrame(
+                    {
+                        "query_id": pd.Series(dtype=qid_dtype),
+                        "doc_id": pd.Series(dtype="int64"),
+                        "score": pd.Series(dtype="float64"),
+                    }
+                )
+            return shard_batch(
+                left, frozenset(int(x) for x in right["doc_id"])
+            )
+
+        candidates = (
+            blocks.groupBy("qgroup", "shard")
+            .cogroup(dead_by_shard.groupBy("qgroup", "shard"))
+            .applyInPandas(run_cg, out_schema)
+        )
+    else:
+        dead_b = dead
+
+        def run(pdf: pd.DataFrame) -> pd.DataFrame:
+            return shard_batch(pdf, dead_b)
+
+        candidates = blocks.groupBy("qgroup", "shard").applyInPandas(
+            run, out_schema
+        )
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        candidates.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+        .orderBy("query_id", F.desc("score"), F.asc("doc_id"))
+    )

@@ -159,3 +159,94 @@ def test_phrase_survives_merge(spark, pos_index, tmp_path_factory):
             (oracle.urls[oracle.doc_ids.index(d)], round(s, 6)) for d, s in exp
         ]
         assert sorted(got_urls) == sorted(exp_urls), phrase
+
+
+def test_phrase_batch_matches_per_query(spark, pos_index):
+    """phrase_topk_batch == P independent phrase_topk calls, including a
+    dictionary-missing-term phrase (AND semantics: no rows)."""
+    from solr_indexing_spark.query.phrase import phrase_topk_batch
+
+    idx, pdf = pos_index
+    phrases = {
+        0: _real_phrase(pdf, 0),
+        1: _real_phrase(pdf, 7),
+        2: _real_phrase(pdf, 123),
+        3: "zzqqmissing " + _real_phrase(pdf, 0, n=1),
+        4: "",
+    }
+    got = {}
+    for r in phrase_topk_batch(spark, idx, phrases, k=10).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["doc_id"], round(r["score"], 9))
+        )
+    for qid, ph in phrases.items():
+        want = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in phrase_topk(spark, idx, ph, k=10).collect()
+        ]
+        assert got.get(qid, []) == want, (qid, ph)
+    assert 3 not in got and 4 not in got
+    assert len(got[0]) > 0
+
+
+def test_phrase_tombstoneframe_dead_path(spark, pos_index, tmp_path_factory):
+    """phrase_topk over a segment whose tombstone set exceeds the
+    broadcast threshold (TombstoneFrame) — previously crashed (`in` on a
+    frame); must now match the frozenset path, batch included."""
+    import shutil
+
+    from solr_indexing_spark.query import bmw as bmw_mod
+    from solr_indexing_spark.query.phrase import phrase_topk_batch
+
+    idx, pdf = pos_index
+    root = tmp_path_factory.mktemp("phrase_tomb")
+    idx2 = str(root / "idx")
+    shutil.copytree(idx, idx2)
+
+    # tombstone the source doc of phrase 0 (plus a few others)
+    from pyspark.sql import functions as F
+
+    from solr_indexing_spark.indexing.incremental import append_tombstones
+
+    phrase = _real_phrase(pdf, 0)
+    docs = spark.read.parquet(f"{idx2}/docs")
+    dead = docs.filter(F.col("doc_id") % 50 == 0).select("doc_id", "doclen")
+    append_tombstones(spark, idx2, dead)
+    dead_ids = {r["doc_id"] for r in dead.collect()}
+
+    want = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in phrase_topk(spark, idx2, phrase, k=10).collect()
+    ]
+    assert not any(d in dead_ids for d, _ in want)
+
+    # force the TombstoneFrame (cogroup) path: rebind the phrase module's
+    # load_tombstones to a threshold-1 wrapper (the default arg binds at
+    # def time, so patching the constant would not reach it)
+    from solr_indexing_spark.query import phrase as phrase_mod
+
+    orig_load = phrase_mod.load_tombstones
+
+    def tiny_threshold(spark_, index_dir_, **kw):
+        kw["broadcast_threshold"] = 1
+        return orig_load(spark_, index_dir_, **kw)
+
+    phrase_mod.load_tombstones = tiny_threshold
+    try:
+        probe = tiny_threshold(spark, idx2)
+        assert isinstance(probe, bmw_mod.TombstoneFrame)
+        got = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in phrase_topk(spark, idx2, phrase, k=10).collect()
+        ]
+        gotb = {}
+        from solr_indexing_spark.query.phrase import phrase_topk_batch
+
+        for r in phrase_topk_batch(spark, idx2, {1: phrase}, k=10).collect():
+            gotb.setdefault(r["query_id"], []).append(
+                (r["doc_id"], round(r["score"], 9))
+            )
+    finally:
+        phrase_mod.load_tombstones = orig_load
+    assert got == want
+    assert gotb.get(1, []) == want
