@@ -123,6 +123,9 @@ def main() -> None:
                     help="file of one query per line — ALL evaluated in "
                          "one Spark job (query/batch.py topk_batch)")
     ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--phrase", action="store_true",
+                    help="treat --query / --batch lines as EXACT phrases "
+                         "(positional index required; query/phrase.py)")
     ap.add_argument("--mode", choices=["bmw", "brute"], default="bmw")
     ap.add_argument("--analyzer", choices=["default", "stopword"],
                     default=None,
@@ -135,6 +138,8 @@ def main() -> None:
     if (args.serve or args.batch) and args.mode != "bmw":
         ap.error("--serve/--batch run the BMW path; --mode brute "
                  "is single-query only")
+    if args.phrase and (args.serve or args.mode != "bmw"):
+        ap.error("--phrase works with --query or --batch (BMW path)")
 
     import os
 
@@ -177,11 +182,21 @@ def main() -> None:
 
         spark = SparkSession.builder.appName("query").getOrCreate()
 
+    if args.phrase and seg_dirs is not None:
+        raise SystemExit(
+            "--phrase does not serve a partially re-indexed job's segment "
+            "chain yet; compact the job first (ingest --compact)"
+        )
+
     if args.batch:
         with open(args.batch) as fh:
             qlines = [ln.strip() for ln in fh if ln.strip()]
         queries = {i: q for i, q in enumerate(qlines)}
-        if seg_dirs is not None:
+        if args.phrase:
+            from solr_indexing_spark.query.phrase import phrase_topk_batch
+
+            result = phrase_topk_batch(spark, args.index, queries, k=args.k)
+        elif seg_dirs is not None:
             from solr_indexing_spark.indexing.incremental import (
                 SegmentsSession,
             )
@@ -223,6 +238,10 @@ def main() -> None:
         from solr_indexing_spark.indexing.incremental import topk_segments
 
         result = topk_segments(spark, seg_dirs, args.query, k=args.k)
+    elif args.phrase:
+        from solr_indexing_spark.query.phrase import phrase_topk
+
+        result = phrase_topk(spark, args.index, args.query, k=args.k)
     elif args.mode == "bmw":
         from solr_indexing_spark.query.bmw import topk
 
