@@ -53,6 +53,12 @@ from .bmw import (
 #: subdivides doc ranges down to this width to parallelize them).
 BATCH_MIN_SHARD_RANGE = 1 << 10
 
+#: a (query, shard) kernel invocation below this many postings is
+#: dominated by its fixed setup (cursor init, per-term scan, bincount
+#: alloc), so the doc-range subdivision targets at least this much work
+#: per query per shard.
+WORK_PER_QUERY_SHARD = 1 << 15
+
 #: above this many distinct terms the postings pruning switches from a
 #: literal IN-list (parquet row-group pushdown, right for interactive
 #: term counts) to a broadcast semi-join (a 40k-literal IN-list from a
@@ -107,7 +113,7 @@ def _resolve_term_meta(
         found = {}
         for r in dict_rows:
             idf = math.log(1.0 + (n_docs - r["df"] + 0.5) / (r["df"] + 0.5))
-            found[r["term"]] = (idf, idf * r["max_tf_norm"])
+            found[r["term"]] = (idf, idf * r["max_tf_norm"], int(r["df"]))
         if meta_cache is not None:
             if len(meta_cache) + len(misses) > TERM_META_CACHE_CAP:
                 meta_cache.clear()
@@ -141,20 +147,6 @@ def _topk_batch_impl(
     if span <= 0:
         span = max(int(man.get("n_docs", 0)), 1)
     par = max(spark.sparkContext.defaultParallelism, 1)
-    if shard_range is None:
-        # finer doc-range sharding than the single-query path: the batch
-        # kernel cost is real (Q kernels per shard), so the width targets
-        # ~2 tasks per core WITHOUT the single-query 2^17 floor — doc
-        # subdivision parallelizes the kernels with no block replication
-        # (a block lands only on the ≤ (128/width + 1) shards it
-        # overlaps), unlike the query-group axis below, which replicates
-        # shared terms' blocks per group and made total work grow with
-        # core count. The 1024 floor bounds a corpus-spanning rare-term
-        # block's fan-out at span/1024 ≤ 2·par rows.
-        want = -(-span // (2 * par))
-        shard_range = BATCH_MIN_SHARD_RANGE
-        while shard_range < want:
-            shard_range <<= 1
 
     int_ids = all(isinstance(q, int) for q in queries)
     qid_type = T.LongType() if int_ids else T.StringType()
@@ -196,14 +188,26 @@ def _topk_batch_impl(
     buckets = sorted({_term_bucket_py(t, num_buckets) for t in live_terms})
 
     # ---- parallelism: (query group × doc-range shard) ------------------
-    # Doc-range subdivision (above) is the primary axis — it adds tasks
-    # without replicating blocks. The query-group axis is the fallback
-    # for degenerate spans (corpus smaller than the shard floor): split
-    # queries into G groups so G × n_shards ≈ 2 × parallelism, shipping
-    # each group ONLY its own queries' term blocks (broadcast join on a
-    # tiny (term, group) table). Replicating shared terms per group costs
-    # duplicate shuffle + decode, so G stays 1 whenever doc sharding
-    # already saturates the cores.
+    # Doc-range subdivision splits per-query kernel work WITHOUT
+    # replicating blocks (a block lands only on the shards it overlaps),
+    # but each (query, shard) pays a fixed setup cost — so the number of
+    # subdivisions scales with the batch's MEASURED work (Σ df of each
+    # query's terms, known from the dictionary lookup), not the raw doc
+    # span: a query merging 12k postings wants ONE shard (measured 291
+    # vs 87 qps over-subdivided at sf0.1), one merging 10^8 wants many.
+    # The query-group axis then fills remaining parallelism by splitting
+    # queries — it replicates shared terms' blocks per group, so it is
+    # the second choice at high per-term block volume.
+    if shard_range is None:
+        w_avg = (
+            sum(meta[t][2] for ts in q_terms.values() for t in ts)
+            / len(q_terms)
+        )
+        n_target = max(min(int(w_avg // WORK_PER_QUERY_SHARD), 2 * par), 1)
+        want = -(-span // n_target)
+        shard_range = BATCH_MIN_SHARD_RANGE
+        while shard_range < want:
+            shard_range <<= 1
     n_shards = max(-(-span // shard_range), 1)
     n_groups = max(min(-(-2 * par // n_shards), len(q_terms)), 1)
     qids_sorted = sorted(q_terms)
@@ -308,7 +312,7 @@ def _topk_batch_impl(
                 blist = by_term.get(t)
                 if blist is None:
                     continue
-                idf, ub = meta[t]
+                idf, ub = meta[t][0], meta[t][1]
                 c = _TermCursor(idf, ub, blist, lo, hi)
                 if c.cur < _INF:
                     cursors.append(c)

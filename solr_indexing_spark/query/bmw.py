@@ -717,7 +717,7 @@ def _topk_impl(
                 )
                 for r in g.itertuples()
             ]
-            idf, ub = meta[term]
+            idf, ub = meta[term][0], meta[term][1]
             c = _TermCursor(idf, ub, blist, lo, hi)
             if c.cur < _INF:
                 cursors.append(c)
