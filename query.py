@@ -182,17 +182,26 @@ def main() -> None:
 
         spark = SparkSession.builder.appName("query").getOrCreate()
 
-    if args.phrase and seg_dirs is not None:
-        raise SystemExit(
-            "--phrase does not serve a partially re-indexed job's segment "
-            "chain yet; compact the job first (ingest --compact)"
-        )
-
     if args.batch:
         with open(args.batch) as fh:
             qlines = [ln.strip() for ln in fh if ln.strip()]
         queries = {i: q for i, q in enumerate(qlines)}
-        if args.phrase:
+        if args.phrase and seg_dirs is not None:
+            # batched phrase over a chain: one job per phrase via the
+            # chain path (the batch grid over chains is future work)
+            from functools import reduce
+
+            from pyspark.sql import functions as F
+
+            from solr_indexing_spark.query.phrase import phrase_topk_segments
+
+            parts = [
+                phrase_topk_segments(spark, seg_dirs, q, k=args.k)
+                .withColumn("query_id", F.lit(i))
+                for i, q in queries.items()
+            ]
+            result = reduce(lambda a, b: a.unionByName(b), parts)
+        elif args.phrase:
             from solr_indexing_spark.query.phrase import phrase_topk_batch
 
             result = phrase_topk_batch(spark, args.index, queries, k=args.k)
@@ -234,7 +243,11 @@ def main() -> None:
             }))
         return
 
-    if seg_dirs is not None:
+    if args.phrase and seg_dirs is not None:
+        from solr_indexing_spark.query.phrase import phrase_topk_segments
+
+        result = phrase_topk_segments(spark, seg_dirs, args.query, k=args.k)
+    elif seg_dirs is not None:
         from solr_indexing_spark.indexing.incremental import topk_segments
 
         result = topk_segments(spark, seg_dirs, args.query, k=args.k)

@@ -74,6 +74,54 @@ def phrase_topk(
             f"segment {index_dir} was built without positions "
             "(build_index(store_positions=True))"
         )
+    return _phrase_impl(
+        spark,
+        man,
+        spark.read.parquet(f"{index_dir}/dictionary"),
+        spark.read.parquet(f"{index_dir}/postings"),
+        phrase,
+        k,
+        shard_range,
+        dead=load_tombstones(spark, index_dir),
+    )
+
+
+def phrase_topk_segments(
+    spark: SparkSession,
+    seg_dirs: list[str],
+    phrase: str,
+    k: int = 10,
+    shard_range: int | None = None,
+) -> DataFrame:
+    """Exact-phrase top-k across a segment CHAIN (base + deltas) — the
+    pre-merge serving path for positional jobs, mirroring
+    ``incremental.topk_segments``: combined live statistics (df summed in
+    the union dictionary, doc-weighted avgdl corrected by tombstones),
+    union positional postings, union dead set."""
+    from ..indexing.incremental import _chain_state
+
+    mans = [read_manifest(d) for d in seg_dirs]
+    if not all(m.get("positions") for m in mans):
+        raise ValueError(
+            "phrase_topk_segments requires every chain segment built with "
+            "store_positions=True"
+        )
+    man, dictionary, postings, dead = _chain_state(spark, seg_dirs, mans)
+    return _phrase_impl(
+        spark, man, dictionary, postings, phrase, k, shard_range, dead=dead
+    )
+
+
+def _phrase_impl(
+    spark: SparkSession,
+    man: dict,
+    dictionary: DataFrame,
+    postings: DataFrame,
+    phrase: str,
+    k: int,
+    shard_range: int | None,
+    dead=frozenset(),
+) -> DataFrame:
     if shard_range is None:
         from .bmw import _auto_shard_range
 
@@ -93,11 +141,10 @@ def phrase_topk(
     base_off = pairs[0][0]  # normalize so the first kept term is offset 0
     terms = [t for _, t in pairs]
     uniq = sorted(set(terms))
-    dead = load_tombstones(spark, index_dir)
 
     buckets = sorted({_term_bucket_py(t, num_buckets) for t in uniq})
     dict_rows = (
-        spark.read.parquet(f"{index_dir}/dictionary")
+        dictionary
         .filter(F.col("bucket").isin(buckets) & F.col("term").isin(uniq))
         .collect()
     )
@@ -110,7 +157,7 @@ def phrase_topk(
     }
 
     blocks = (
-        spark.read.parquet(f"{index_dir}/postings")
+        postings
         .filter(F.col("bucket").isin(buckets) & F.col("term").isin(uniq))
         .select(
             "term", "first_doc_id", "last_doc_id", "n_docs",

@@ -250,3 +250,51 @@ def test_phrase_tombstoneframe_dead_path(spark, pos_index, tmp_path_factory):
         phrase_mod.load_tombstones = orig_load
     assert got == want
     assert gotb.get(1, []) == want
+
+
+def test_phrase_topk_segments_chain(spark, tmp_path_factory):
+    """Phrase serving over a base+delta chain: delta-only phrases found,
+    superseded docs' phrases tombstoned out, positions required."""
+    import pytest as _pytest
+
+    from solr_indexing_spark.indexing.build import build_index
+    from solr_indexing_spark.indexing.incremental import reindex_changed
+    from solr_indexing_spark.query.phrase import phrase_topk_segments
+
+    root = tmp_path_factory.mktemp("phrase_chain")
+    pdf = gen_pages(200, seed=23)
+    write_pandas_pages(pdf, str(root / "p.parquet"))
+    pages = spark.read.parquet(str(root / "p.parquet"))
+    base = str(root / "seg0")
+    build_index(spark, pages, base, num_buckets=4, store_positions=True)
+
+    # update doc 5: its old phrase disappears, a new unique phrase arrives
+    old_phrase = _real_phrase(pdf, 5)
+    upd = pdf.iloc[[5]].copy().reset_index(drop=True)
+    upd["text"] = ["freshchain alpha beta gamma freshchain"]
+    write_pandas_pages(upd, str(root / "u.parquet"))
+    delta = str(root / "seg1")
+    reindex_changed(
+        spark, base, spark.read.parquet(str(root / "u.parquet")), delta
+    )
+
+    chain = [base, delta]
+    hits = phrase_topk_segments(spark, chain, "alpha beta gamma", k=5).collect()
+    assert len(hits) == 1  # the delta doc, under its NEW id
+    from solr_indexing_spark.indexing.build import read_manifest
+
+    assert hits[0]["doc_id"] >= read_manifest(delta)["doc_id_base"]
+    # the superseded doc no longer matches its old phrase (other docs may)
+    dead = {r["doc_id"] for r in
+            spark.read.parquet(f"{base}/tombstones").collect()}
+    got = phrase_topk_segments(spark, chain, old_phrase, k=10).collect()
+    assert not any(r["doc_id"] in dead for r in got)
+    # a phrase from an untouched doc still serves
+    keep = _real_phrase(pdf, 17)
+    assert len(phrase_topk_segments(spark, chain, keep, k=10).collect()) >= 1
+
+    # positions are mandatory on every chain segment
+    np_base = str(root / "np")
+    build_index(spark, pages, np_base, num_buckets=4)
+    with _pytest.raises(ValueError, match="store_positions"):
+        phrase_topk_segments(spark, [np_base], "alpha beta", k=5)
