@@ -284,9 +284,15 @@ def _ft_bm25_multi(spark, sf_dir):
     BATCH mode (mode='batch'): the same 4 queries evaluated by
     ``topk_batch`` (query/batch.py) — ALL queries in ONE Spark job through
     the compressed-segment BMW path. Scores must hash-match the per-query
-    brute/SQL rows exactly (rank identity of the bulk-evaluation path)."""
+    brute/SQL rows exactly (rank identity of the bulk-evaluation path).
+
+    FILTERED mode (mode='filtered'): ``topk_filtered`` — the Solr/Lucene
+    filter query (fq): query 1 restricted to English documents
+    (lang = 'en'), exact inside the kernels (no over-fetch window), BM25
+    statistics corpus-global. Oracle: same brute CTE with the candidate
+    set filtered after scoring."""
     from solr_indexing_spark.query.batch import topk_batch
-    from solr_indexing_spark.query.bmw import topk_boosted
+    from solr_indexing_spark.query.bmw import topk_boosted, topk_filtered
 
     out = None
     for qid, q in FT_QUERIES.items():
@@ -314,8 +320,26 @@ def _ft_bm25_multi(spark, sf_dir):
         )
         .withColumn("mode", F.lit("batch"))
     )
-    return out.unionByName(boosted).unionByName(batch).select(
-        "query_id", "mode", "doc_id", "score"
+    filtered = (
+        topk_filtered(
+            spark,
+            idx,
+            FT_QUERY,
+            _docs(spark, sf_dir).filter(F.col("lang") == "en").select("doc_id"),
+            k=5,
+        )
+        .select(
+            F.lit(1).alias("query_id"),
+            "doc_id",
+            F.round("score", 4).alias("score"),
+        )
+        .withColumn("mode", F.lit("filtered"))
+    )
+    return (
+        out.unionByName(boosted)
+        .unionByName(batch)
+        .unionByName(filtered)
+        .select("query_id", "mode", "doc_id", "score")
     )
 
 
@@ -1851,7 +1875,17 @@ _TOKS = (
 _MH60 = "('0x' || substr(md5({x}), 1, 15))::bigint"
 
 
-def _bm25_sql(terms: list[str], k: int, extra_cols: str = "") -> str:
+def _bm25_sql(
+    terms: list[str], k: int, extra_cols: str = "", allow_pred: str = ""
+) -> str:
+    """Brute BM25 top-k CTE. ``allow_pred``: optional fq predicate over
+    the documents table — candidates restricted AFTER scoring with
+    corpus-global stats (Lucene fq semantics, matching topk_filtered)."""
+    where = (
+        f"where doc_id in (select doc_id from documents where {allow_pred}) "
+        if allow_pred
+        else ""
+    )
     vals = ", ".join(f"('{t}')" for t in sorted(set(terms)))
     return f"""
 with toks as ({_TOKS}),
@@ -1867,7 +1901,7 @@ w as (select tf.doc_id,
              / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.doclen / s.avgdl)) as w
       from tf join df using(term) join dl using(doc_id) cross join stats s)
 select {extra_cols}doc_id, round(sum(w), 4) as score
-from w group by doc_id
+from w {where}group by doc_id
 order by sum(w) desc, doc_id asc limit {k}
 """
 
@@ -1950,6 +1984,15 @@ select query_id, mode, doc_id, score from (
   order by base + (doc_id % 5) * 0.25::double desc, doc_id asc limit 5
 )
 """
+    # filtered mode (fq): same brute CTE, candidates restricted to
+    # lang='en' AFTER scoring with corpus-global stats — mirrors
+    # query/bmw.py topk_filtered exactly
+    multi += (
+        "\nunion all\n"
+        "select 1 as query_id, 'filtered' as mode, doc_id, score from ("
+        + _bm25_sql(FT_QUERY.split(), 5, allow_pred="lang = 'en'")
+        + ")"
+    )
     simhash_votes = ", ".join(
         f"sum(case when (h & {1 << b}) != 0 then tf else -tf end) as v{b}"
         for b in range(16)

@@ -126,6 +126,11 @@ def main() -> None:
     ap.add_argument("--phrase", action="store_true",
                     help="treat --query / --batch lines as EXACT phrases "
                          "(positional index required; query/phrase.py)")
+    ap.add_argument("--filter", default=None, dest="filter_expr",
+                    help="fq: SQL boolean predicate over the segment docs "
+                         "table (e.g. \"lang = 'en'\") restricting results "
+                         "— exact, corpus-global BM25 stats "
+                         "(query/bmw.py topk_filtered)")
     ap.add_argument("--mode", choices=["bmw", "brute"], default="bmw")
     ap.add_argument("--analyzer", choices=["default", "stopword"],
                     default=None,
@@ -140,6 +145,8 @@ def main() -> None:
                  "is single-query only")
     if args.phrase and (args.serve or args.mode != "bmw"):
         ap.error("--phrase works with --query or --batch (BMW path)")
+    if args.filter_expr and (args.serve or args.phrase or args.mode != "bmw"):
+        ap.error("--filter works with --query or --batch on the BMW path")
 
     import os
 
@@ -182,6 +189,23 @@ def main() -> None:
 
         spark = SparkSession.builder.appName("query").getOrCreate()
 
+    # fq: the predicate runs over the segment docs table(s); the resulting
+    # doc_id set rides into the kernels (small → closure, large → cogrouped
+    # AllowFrame — make_allow policy)
+    allow = None
+    if args.filter_expr:
+        from pyspark.sql import functions as F
+
+        from solr_indexing_spark.indexing.build import read_docs
+
+        fq_sources = seg_dirs if seg_dirs is not None else [args.index]
+        fq_docs = read_docs(spark, fq_sources[0])
+        for d in fq_sources[1:]:
+            fq_docs = fq_docs.unionByName(
+                read_docs(spark, d), allowMissingColumns=True
+            )
+        allow = fq_docs.filter(F.expr(args.filter_expr)).select("doc_id")
+
     if args.batch:
         with open(args.batch) as fh:
             qlines = [ln.strip() for ln in fh if ln.strip()]
@@ -211,11 +235,13 @@ def main() -> None:
             )
 
             sess = SegmentsSession(spark, seg_dirs)
-            result = sess.topk_batch(queries, k=args.k)
+            result = sess.topk_batch(queries, k=args.k, allow=allow)
         else:
             from solr_indexing_spark.query.batch import topk_batch
 
-            result = topk_batch(spark, args.index, queries, k=args.k)
+            result = topk_batch(
+                spark, args.index, queries, k=args.k, allow=allow
+            )
 
         from pyspark.sql import functions as F
 
@@ -250,11 +276,19 @@ def main() -> None:
     elif seg_dirs is not None:
         from solr_indexing_spark.indexing.incremental import topk_segments
 
-        result = topk_segments(spark, seg_dirs, args.query, k=args.k)
+        result = topk_segments(
+            spark, seg_dirs, args.query, k=args.k, allow=allow
+        )
     elif args.phrase:
         from solr_indexing_spark.query.phrase import phrase_topk
 
         result = phrase_topk(spark, args.index, args.query, k=args.k)
+    elif allow is not None:
+        from solr_indexing_spark.query.bmw import topk_filtered
+
+        result = topk_filtered(
+            spark, args.index, args.query, allow, k=args.k
+        )
     elif args.mode == "bmw":
         from solr_indexing_spark.query.bmw import topk
 

@@ -255,23 +255,36 @@ class SegmentsSession:
             self.postings = self.postings.persist()
 
     def topk(
-        self, query: str, k: int = 10, shard_range: int | None = None
+        self,
+        query: str,
+        k: int = 10,
+        shard_range: int | None = None,
+        allow=None,
     ) -> DataFrame:
+        from ..query.bmw import make_allow
+
         return _topk_impl(
             self.spark, self.man, self.dictionary, self.postings, query, k,
             shard_range, dead=self.dead, meta_cache=self._term_meta,
+            allow=make_allow(self.spark, allow),
         )
 
     def topk_batch(
-        self, queries: dict, k: int = 10, shard_range: int | None = None
+        self,
+        queries: dict,
+        k: int = 10,
+        shard_range: int | None = None,
+        allow=None,
     ) -> DataFrame:
         """Q queries in ONE job over the chain (query/batch.py), sharing
         the session's union dictionary, dead set and term-meta cache."""
         from ..query.batch import _topk_batch_impl
+        from ..query.bmw import make_allow
 
         return _topk_batch_impl(
             self.spark, self.man, self.dictionary, self.postings, queries,
             k, shard_range, dead=self.dead, meta_cache=self._term_meta,
+            allow=make_allow(self.spark, allow),
         )
 
     def close(self) -> None:
@@ -354,6 +367,7 @@ def topk_segments(
     k: int = 10,
     shard_range: int | None = None,
     dead=None,
+    allow=None,
 ) -> DataFrame:
     """BM25 top-k across several segments (pre-merge serving path),
     one-shot. A server issuing repeated queries should hold a
@@ -370,6 +384,8 @@ def topk_segments(
     — membership only; the statistics correction is still exact because it
     comes from the per-segment tombstone aggregates, recomputed here.
     """
+    from ..query.bmw import make_allow
+
     mans = [read_manifest(d) for d in seg_dirs]
     man, dictionary, postings, chain_dead = _chain_state(
         spark, seg_dirs, mans
@@ -377,4 +393,5 @@ def topk_segments(
     return _topk_impl(
         spark, man, dictionary, postings, query, k, shard_range,
         dead=dead if dead is not None else chain_dead,
+        allow=make_allow(spark, allow),
     )

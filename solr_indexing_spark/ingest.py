@@ -567,14 +567,15 @@ class JobSession:
             cache_postings=self._cache_postings,
         )
 
-    def topk(self, query: str, k: int = 10) -> DataFrame:
-        """BM25 top-k (doc_id, score) over the variant's live chain."""
-        return self.segments.topk(query, k=k)
+    def topk(self, query: str, k: int = 10, allow=None) -> DataFrame:
+        """BM25 top-k (doc_id, score) over the variant's live chain.
+        ``allow``: optional filter-query doc set (fq)."""
+        return self.segments.topk(query, k=k, allow=allow)
 
-    def topk_batch(self, queries: dict, k: int = 10) -> DataFrame:
+    def topk_batch(self, queries: dict, k: int = 10, allow=None) -> DataFrame:
         """Q queries in ONE job over the variant's live chain
         (query/batch.py) — the bulk-evaluation path."""
-        return self.segments.topk_batch(queries, k=k)
+        return self.segments.topk_batch(queries, k=k, allow=allow)
 
     def complete(self, prefix: str, k: int = 10) -> DataFrame:
         """Weighted prefix completion over the job's completion tables

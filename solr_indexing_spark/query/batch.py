@@ -133,6 +133,7 @@ def _topk_batch_impl(
     shard_range: int | None,
     dead=frozenset(),
     meta_cache: dict | None = None,
+    allow=None,
 ) -> DataFrame:
     """One-job batched top-k. ``queries``: {query_id: text or term list}.
 
@@ -280,7 +281,9 @@ def _topk_batch_impl(
     for qid in qids_sorted:
         group_qids.setdefault(q_group[qid], []).append(qid)
 
-    def shard_topk_batch(pdf: pd.DataFrame, dead_local) -> pd.DataFrame:
+    def shard_topk_batch(
+        pdf: pd.DataFrame, dead_local, allow_local
+    ) -> pd.DataFrame:
         shard = int(pdf["shard"].iloc[0])
         group = int(pdf["qgroup"].iloc[0])
         lo, hi = shard * rr, (shard + 1) * rr
@@ -320,7 +323,7 @@ def _topk_batch_impl(
                 continue
             for d, s in shard_topk_auto(
                 cursors, kk, avg, dead=dead_local, lo=lo, hi=hi,
-                decode_cache=decode_cache,
+                decode_cache=decode_cache, allow=allow_local,
             ):
                 out_q.append(qid)
                 out_d.append(d)
@@ -333,18 +336,36 @@ def _topk_batch_impl(
             }
         )
 
-    if isinstance(dead, TombstoneFrame):
-        # large-churn path: shuffle the dead set ONCE by the same
-        # (group, shard) key and cogroup — per-task dead volume is
-        # churn/n_shards (× the group fan-out), and the whole batch shares
-        # that one shuffle (see bmw._topk_impl)
-        dead_by_shard = dead.df.select(
+    dead_is_frame = isinstance(dead, TombstoneFrame)
+    allow_is_frame = isinstance(allow, TombstoneFrame)  # incl. AllowFrame
+    if dead_is_frame or allow_is_frame:
+        # large-churn / large-filter path: shuffle the doc-id sets ONCE
+        # (unioned, is_dead flag) by the same (group, shard) key and
+        # cogroup — per-task volume is set/n_shards (× the group fan-out),
+        # and the whole batch shares that one shuffle (see bmw._topk_impl)
+        sides = []
+        if dead_is_frame:
+            sides.append(
+                dead.df.select("doc_id", F.lit(True).alias("is_dead"))
+            )
+        if allow_is_frame:
+            sides.append(
+                allow.df.select("doc_id", F.lit(False).alias("is_dead"))
+            )
+        right_rows = sides[0] if len(sides) == 1 else sides[0].unionByName(
+            sides[1]
+        )
+        right_by_shard = right_rows.select(
             (F.col("doc_id") / F.lit(shard_range)).cast("long").alias("shard"),
             "doc_id",
+            "is_dead",
         ).withColumn(
             "qgroup",
             F.explode(F.lit(list(range(n_groups))).cast("array<int>")),
         )
+        closure_dead = frozenset() if dead_is_frame else dead
+        closure_allow = None if allow_is_frame else allow
+        has_dead_frame, has_allow_frame = dead_is_frame, allow_is_frame
 
         def run_cg(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
             if not len(left):
@@ -355,20 +376,30 @@ def _topk_batch_impl(
                         "score": pd.Series(dtype="float64"),
                     }
                 )
-            return shard_topk_batch(
-                left, frozenset(int(x) for x in right["doc_id"])
-            )
+            if has_dead_frame:
+                dead_local = frozenset(
+                    int(x) for x in right.loc[right["is_dead"], "doc_id"]
+                )
+            else:
+                dead_local = closure_dead
+            if has_allow_frame:
+                allow_local = frozenset(
+                    int(x) for x in right.loc[~right["is_dead"], "doc_id"]
+                )
+            else:
+                allow_local = closure_allow
+            return shard_topk_batch(left, dead_local, allow_local)
 
         candidates = (
             blocks.groupBy("qgroup", "shard")
-            .cogroup(dead_by_shard.groupBy("qgroup", "shard"))
+            .cogroup(right_by_shard.groupBy("qgroup", "shard"))
             .applyInPandas(run_cg, out_schema)
         )
     else:
-        dead_b = dead
+        dead_b, allow_b = dead, allow
 
         def run(pdf: pd.DataFrame) -> pd.DataFrame:
-            return shard_topk_batch(pdf, dead_b)
+            return shard_topk_batch(pdf, dead_b, allow_b)
 
         candidates = blocks.groupBy("qgroup", "shard").applyInPandas(
             run, out_schema
@@ -391,9 +422,14 @@ def topk_batch(
     queries: dict,
     k: int = 10,
     shard_range: int | None = None,
+    allow=None,
 ) -> DataFrame:
     """Batched BM25 top-k over one built segment (one-shot convenience —
-    a server holds a session and calls its ``topk_batch`` instead)."""
+    a server holds a session and calls its ``topk_batch`` instead).
+    ``allow``: optional filter-query doc set (``bmw.topk_filtered``
+    semantics) applied to every query in the batch."""
+    from .bmw import make_allow
+
     man = read_manifest(index_dir)
     return _topk_batch_impl(
         spark,
@@ -404,6 +440,7 @@ def topk_batch(
         k,
         shard_range,
         dead=load_tombstones(spark, index_dir),
+        allow=make_allow(spark, allow),
     )
 
 

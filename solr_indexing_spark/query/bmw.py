@@ -110,12 +110,20 @@ def bmw_shard_topk(
     k: int,
     avgdl: float,
     dead: frozenset = frozenset(),
+    allow=None,
 ) -> list[tuple[int, float]]:
     """Exact top-k within one shard via block-max WAND.
 
     ``dead``: tombstoned doc_ids (partial re-index, Lucene-liveDocs style)
     — skipped at evaluation time so they can never displace a live doc
-    from the shard's local top-k."""
+    from the shard's local top-k.
+
+    ``allow``: optional membership restricting results to a doc set (the
+    Solr/Lucene filter-query ``fq``) — ``None`` admits every doc. Applied
+    at evaluation time like ``dead``, so the filtered top-k is exact (a
+    filtered-out doc never occupies a heap slot); BM25 statistics remain
+    corpus-global, matching Lucene's fq semantics (filters restrict
+    candidates, not scoring)."""
     cursors = [c for c in cursors if c.cur < _INF]
     heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap
     while cursors:
@@ -156,7 +164,7 @@ def bmw_shard_topk(
             # all terms ≤ pivot aligned: full evaluation; fsum makes the
             # accumulation order-insensitive (exact summation)
             contributors = [c for c in cursors if c.cur == pivot_doc]
-            if pivot_doc not in dead:
+            if pivot_doc not in dead and (allow is None or pivot_doc in allow):
                 score = math.fsum(c.score_cur(avgdl) for c in contributors)
                 item = (score, -pivot_doc)
                 if len(heap) < k:
@@ -238,6 +246,7 @@ def taat_shard_topk(
     lo: int = 0,
     hi: int = _INF,
     decode_cache: dict | None = None,
+    allow=None,
 ) -> list[tuple[int, float]]:
     """Exact top-k within one shard via vectorized term-at-a-time scoring —
     the dense-query complement to :func:`bmw_shard_topk`.
@@ -304,6 +313,22 @@ def taat_shard_topk(
                 count=len(uids),
             )
         uids, totals = uids[alive], totals[alive]
+    if allow is not None:
+        # vectorized fq membership — same shapes as the dead filter above
+        if isinstance(allow, BroadcastDeadSet):
+            arr = allow.to_array()
+            if not len(arr):
+                return []
+            pos = np.searchsorted(arr, uids)
+            pos = np.minimum(pos, len(arr) - 1)
+            keep = arr[pos] == uids
+        else:
+            keep = np.fromiter(
+                (d in allow for d in uids.tolist()),
+                dtype=bool,
+                count=len(uids),
+            )
+        uids, totals = uids[keep], totals[keep]
     if not len(uids):
         return []
     sel = np.lexsort((uids, -totals))[: min(k, len(uids))]
@@ -318,6 +343,7 @@ def shard_topk_auto(
     lo: int = 0,
     hi: int = _INF,
     decode_cache: dict | None = None,
+    allow=None,
 ) -> list[tuple[int, float]]:
     """Cost-based kernel choice per (query, shard) — MaxScore-style
     reasoning, deterministic from block statistics so repeated runs pick
@@ -336,9 +362,9 @@ def shard_topk_auto(
     ):
         return taat_shard_topk(
             cursors, k, avgdl, dead=dead, lo=lo, hi=hi,
-            decode_cache=decode_cache,
+            decode_cache=decode_cache, allow=allow,
         )
-    return bmw_shard_topk(cursors, k, avgdl, dead=dead)
+    return bmw_shard_topk(cursors, k, avgdl, dead=dead, allow=allow)
 
 
 # (TOMBSTONE_BROADCAST_THRESHOLD lives in the package root — shared with
@@ -394,6 +420,38 @@ class TombstoneFrame:
 
     def __bool__(self) -> bool:
         return True
+
+
+class AllowFrame(TombstoneFrame):
+    """Large allow set (filter query) kept as a DataFrame of ``doc_id``
+    rows — the fq twin of :class:`TombstoneFrame`: never driver-
+    materialized; ``_topk_impl`` cogroups it into the kernels by doc-range
+    shard alongside any tombstone frame (one unioned shuffle, an
+    ``is_dead`` flag telling the two sets apart)."""
+
+
+def make_allow(
+    spark: SparkSession,
+    allow,
+    broadcast_threshold: int = TOMBSTONE_BROADCAST_THRESHOLD,
+):
+    """Normalize a filter-query doc set for the scorers: ``None`` (no
+    filter) passes through; a DataFrame with a ``doc_id`` column becomes a
+    frozenset when small (ships in task closures) or an :class:`AllowFrame`
+    past ``broadcast_threshold`` (stays executor-side, cogrouped by shard
+    — a non-selective filter over 10^12 docs must never be collected); any
+    other iterable of ids becomes a frozenset."""
+    if allow is None or isinstance(
+        allow, (frozenset, BroadcastDeadSet, TombstoneFrame)
+    ):
+        return allow
+    if isinstance(allow, DataFrame):
+        df = allow.select("doc_id").distinct()
+        n = df.count()
+        if n <= broadcast_threshold:
+            return frozenset(int(r["doc_id"]) for r in df.collect())
+        return AllowFrame(df)
+    return frozenset(int(d) for d in allow)
 
 
 def union_dead(spark: SparkSession, sets: list):
@@ -543,15 +601,24 @@ class QuerySession:
             self.dead.release()
 
     def topk(
-        self, query: str, k: int = 10, shard_range: int | None = None
+        self,
+        query: str,
+        k: int = 10,
+        shard_range: int | None = None,
+        allow=None,
     ) -> DataFrame:
         return _topk_impl(
             self.spark, self.man, self.dictionary, self.postings, query, k,
             shard_range, dead=self.dead, meta_cache=self._term_meta,
+            allow=make_allow(self.spark, allow),
         )
 
     def topk_batch(
-        self, queries: dict, k: int = 10, shard_range: int | None = None
+        self,
+        queries: dict,
+        k: int = 10,
+        shard_range: int | None = None,
+        allow=None,
     ) -> DataFrame:
         """Q queries in ONE job (query/batch.py), sharing this session's
         persisted dictionary, dead set and term-meta cache."""
@@ -560,6 +627,7 @@ class QuerySession:
         return _topk_batch_impl(
             self.spark, self.man, self.dictionary, self.postings, queries,
             k, shard_range, dead=self.dead, meta_cache=self._term_meta,
+            allow=make_allow(self.spark, allow),
         )
 
 
@@ -636,6 +704,7 @@ def _topk_impl(
     shard_range: int | None,
     dead: frozenset = frozenset(),
     meta_cache: dict | None = None,
+    allow=None,
 ) -> DataFrame:
     num_buckets = man["num_buckets"]
     avgdl = man["avgdl"]
@@ -696,7 +765,7 @@ def _topk_impl(
     meta = dict(term_meta)
     kk, rr, avg = k, shard_range, avgdl
 
-    def shard_topk(pdf: pd.DataFrame, dead_local) -> pd.DataFrame:
+    def shard_topk(pdf: pd.DataFrame, dead_local, allow_local) -> pd.DataFrame:
         shard = int(pdf["shard"].iloc[0])
         lo, hi = shard * rr, (shard + 1) * rr
         cursors = []
@@ -722,45 +791,115 @@ def _topk_impl(
             if c.cur < _INF:
                 cursors.append(c)
         results = shard_topk_auto(
-            cursors, kk, avg, dead=dead_local, lo=lo, hi=hi
+            cursors, kk, avg, dead=dead_local, lo=lo, hi=hi,
+            allow=allow_local,
         )
         return pd.DataFrame(results, columns=["doc_id", "score"])
 
-    if isinstance(dead, TombstoneFrame):
-        # large-churn path: the dead set stays a DataFrame end-to-end.
-        # Shuffle it ONCE by the same doc-range shard key the blocks use,
-        # then cogroup — each BMW task receives exactly its shard's dead
-        # ids as the right-hand pandas frame. No driver materialization,
-        # no broadcast; dead volume per task is churn/n_shards.
-        dead_by_shard = dead.df.select(
+    dead_is_frame = isinstance(dead, TombstoneFrame)
+    allow_is_frame = isinstance(allow, TombstoneFrame)  # incl. AllowFrame
+    if dead_is_frame or allow_is_frame:
+        # large-churn / large-filter path: the doc-id sets stay DataFrames
+        # end-to-end. Shuffle them ONCE (unioned, an is_dead flag telling
+        # tombstones from fq rows) by the same doc-range shard key the
+        # blocks use, then cogroup — each BMW task receives exactly its
+        # shard's ids as the right-hand pandas frame. No driver
+        # materialization, no broadcast; per-task volume is set/n_shards.
+        sides = []
+        if dead_is_frame:
+            sides.append(
+                dead.df.select("doc_id", F.lit(True).alias("is_dead"))
+            )
+        if allow_is_frame:
+            sides.append(
+                allow.df.select("doc_id", F.lit(False).alias("is_dead"))
+            )
+        right_rows = sides[0] if len(sides) == 1 else sides[0].unionByName(
+            sides[1]
+        )
+        right_by_shard = right_rows.select(
             (F.col("doc_id") / F.lit(shard_range)).cast("long").alias("shard"),
             "doc_id",
+            "is_dead",
         )
+        closure_dead = frozenset() if dead_is_frame else dead
+        closure_allow = None if allow_is_frame else allow
+        has_dead_frame, has_allow_frame = dead_is_frame, allow_is_frame
 
         def run_shard_cg(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
             if not len(left):
-                # shard has tombstones but no matching postings
+                # shard has tombstone/fq rows but no matching postings
                 return pd.DataFrame(
                     {
                         "doc_id": pd.Series(dtype="int64"),
                         "score": pd.Series(dtype="float64"),
                     }
                 )
-            return shard_topk(left, frozenset(int(x) for x in right["doc_id"]))
+            if has_dead_frame:
+                dead_local = frozenset(
+                    int(x) for x in right.loc[right["is_dead"], "doc_id"]
+                )
+            else:
+                dead_local = closure_dead
+            if has_allow_frame:
+                # an fq shard with no allow rows admits nothing — correct:
+                # the filter has no member in this doc range
+                allow_local = frozenset(
+                    int(x) for x in right.loc[~right["is_dead"], "doc_id"]
+                )
+            else:
+                allow_local = closure_allow
+            return shard_topk(left, dead_local, allow_local)
 
         candidates = (
             blocks.groupBy("shard")
-            .cogroup(dead_by_shard.groupBy("shard"))
+            .cogroup(right_by_shard.groupBy("shard"))
             .applyInPandas(run_shard_cg, out_schema)
         )
     else:
-        dead_b = dead
+        dead_b, allow_b = dead, allow
 
         def run_shard(pdf: pd.DataFrame) -> pd.DataFrame:
-            return shard_topk(pdf, dead_b)
+            return shard_topk(pdf, dead_b, allow_b)
 
         candidates = blocks.groupBy("shard").applyInPandas(run_shard, out_schema)
     return candidates.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def topk_filtered(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    allow,
+    k: int = 10,
+    shard_range: int | None = None,
+) -> DataFrame:
+    """Filtered BM25 top-k — the Solr/Lucene filter query (``fq``): the
+    best k docs for ``query`` among the docs in ``allow``, with
+    corpus-global BM25 statistics (a filter restricts candidates, never
+    scoring — Lucene's fq semantics, which the reference's Solr serving
+    side exposes on every request).
+
+    ``allow``: a DataFrame with a ``doc_id`` column (any metadata
+    predicate the caller wrote over the docs table or a dimension join) or
+    an iterable of ids. Policy via :func:`make_allow`: small sets ride
+    task closures; past the broadcast threshold the rows stay
+    executor-side and are cogrouped into the kernels by doc-range shard —
+    exact at any selectivity, no over-fetch window (unlike rescoring-based
+    filtering, a filtered-out doc never occupies a heap slot, so a filter
+    matching 10 docs in 10^12 still returns all 10 if they score)."""
+    man = read_manifest(index_dir)
+    return _topk_impl(
+        spark,
+        man,
+        spark.read.parquet(f"{index_dir}/dictionary"),
+        spark.read.parquet(f"{index_dir}/postings"),
+        query,
+        k,
+        shard_range,
+        dead=load_tombstones(spark, index_dir),
+        allow=make_allow(spark, allow),
+    )
 
 
 def expand_prefix(
