@@ -131,6 +131,10 @@ def main() -> None:
                          "table (e.g. \"lang = 'en'\") restricting results "
                          "— exact, corpus-global BM25 stats "
                          "(query/bmw.py topk_filtered)")
+    ap.add_argument("--snippets", action="store_true",
+                    help="add a highlighted best-window snippet per hit "
+                         "(query/highlight.py — the Solr highlighter "
+                         "analog)")
     ap.add_argument("--mode", choices=["bmw", "brute"], default="bmw")
     ap.add_argument("--analyzer", choices=["default", "stopword"],
                     default=None,
@@ -147,6 +151,8 @@ def main() -> None:
         ap.error("--phrase works with --query or --batch (BMW path)")
     if args.filter_expr and (args.serve or args.phrase or args.mode != "bmw"):
         ap.error("--filter works with --query or --batch on the BMW path")
+    if args.snippets and (args.serve or args.mode != "bmw"):
+        ap.error("--snippets works with --query or --batch (BMW path)")
 
     import os
 
@@ -248,12 +254,19 @@ def main() -> None:
         from solr_indexing_spark.indexing.build import read_docs
 
         doc_sources = seg_dirs if seg_dirs is not None else [args.index]
-        docs = read_docs(spark, doc_sources[0]).select("doc_id", "url")
-        for d in doc_sources[1:]:
-            docs = docs.unionByName(
-                read_docs(spark, d).select("doc_id", "url")
-            )
-        rows = result.join(docs, "doc_id").collect()
+        if args.snippets:
+            from solr_indexing_spark.query.highlight import highlight_batch
+
+            rows = highlight_batch(
+                spark, doc_sources, result, queries
+            ).collect()
+        else:
+            docs = read_docs(spark, doc_sources[0]).select("doc_id", "url")
+            for d in doc_sources[1:]:
+                docs = docs.unionByName(
+                    read_docs(spark, d).select("doc_id", "url")
+                )
+            rows = result.join(docs, "doc_id").collect()
         by_qid: dict[int, list] = {i: [] for i in queries}
         for r in rows:
             by_qid[r["query_id"]].append(r)
@@ -263,7 +276,8 @@ def main() -> None:
                 "query": q,
                 "hits": [
                     {"doc_id": r["doc_id"], "score": r["score"],
-                     "url": r["url"]}
+                     "url": r["url"],
+                     **({"snippet": r["snippet"]} if args.snippets else {})}
                     for r in hits
                 ],
             }))
@@ -308,6 +322,18 @@ def main() -> None:
     from solr_indexing_spark.indexing.build import read_docs as _read_docs
 
     doc_sources = seg_dirs if seg_dirs is not None else [args.index]
+    if args.snippets:
+        from solr_indexing_spark.query.highlight import highlight_segments
+
+        rows = highlight_segments(
+            spark, doc_sources, result, args.query
+        ).collect()
+        for r in rows:
+            print(json.dumps({
+                "doc_id": r["doc_id"], "score": r["score"],
+                "url": r["url"], "snippet": r["snippet"],
+            }))
+        return
     docs = _read_docs(spark, doc_sources[0]).select("doc_id", "url")
     for d in doc_sources[1:]:
         docs = docs.unionByName(_read_docs(spark, d).select("doc_id", "url"))

@@ -287,6 +287,15 @@ class SegmentsSession:
             allow=make_allow(self.spark, allow),
         )
 
+    def highlight(self, hits: DataFrame, query: str, **kw) -> DataFrame:
+        """Snippets for a top-k result over the chain (docs resolved
+        across base + delta segments; query/highlight.py)."""
+        from ..query.highlight import highlight_segments
+
+        return highlight_segments(
+            self.spark, self.seg_dirs, hits, query, **kw
+        )
+
     def close(self) -> None:
         from ..query.bmw import BroadcastDeadSet
 

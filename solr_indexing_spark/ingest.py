@@ -577,6 +577,11 @@ class JobSession:
         (query/batch.py) — the bulk-evaluation path."""
         return self.segments.topk_batch(queries, k=k, allow=allow)
 
+    def highlight(self, hits: DataFrame, query: str, **kw) -> DataFrame:
+        """Snippets for a top-k result over the variant's live chain
+        (query/highlight.py)."""
+        return self.segments.highlight(hits, query, **kw)
+
     def complete(self, prefix: str, k: int = 10) -> DataFrame:
         """Weighted prefix completion over the job's completion tables
         (max weight per input across base + deltas, as

@@ -630,6 +630,13 @@ class QuerySession:
             allow=make_allow(self.spark, allow),
         )
 
+    def highlight(self, hits: DataFrame, query: str, **kw) -> DataFrame:
+        """Snippets for a top-k result (query/highlight.py) over this
+        segment's stored docs."""
+        from .highlight import highlight
+
+        return highlight(self.spark, self.index_dir, hits, query, **kw)
+
 
 def topk(
     spark: SparkSession,
