@@ -179,7 +179,17 @@ def _ft_top_terms(spark, sf_dir):
 
 
 def _ft_df_histogram(spark, sf_dir):
+    """Three row kinds, one (kind, key, n) schema:
+
+    - kind='df_bucket': the log2-df term histogram (corpus analysis);
+    - kind='facet_lang': Solr facet.field — per-lang doc counts for
+      FT_QUERY's OR match set, computed THROUGH the built index
+      (query/facet.py: pruned postings scan → vectorized gap decode →
+      distinct → docs join), oracle recomputed from the raw token stream;
+    - kind='match_count': numFound for the same match set.
+    """
     from solr_indexing_spark.docprep.analysis import sql_tokens
+    from solr_indexing_spark.query.facet import facet_counts, matching_doc_ids
 
     df_per_term = (
         _docs(spark, sf_dir)
@@ -187,13 +197,34 @@ def _ft_df_histogram(spark, sf_dir):
         .groupBy("term")
         .agg(F.countDistinct("doc_id").alias("df"))
     )
-    return (
+    hist = (
         df_per_term.withColumn(
             "df_bucket", F.floor(F.log2(F.col("df"))).cast("long")
         )
         .groupBy("df_bucket")
-        .agg(F.count("*").alias("n_terms"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.lit("df_bucket").alias("kind"),
+            F.col("df_bucket").cast("string").alias("key"),
+            "n",
+        )
     )
+    idx = _index_dir(spark, sf_dir)
+    facets = facet_counts(spark, idx, FT_QUERY, col="lang").select(
+        F.lit("facet_lang").alias("kind"),
+        F.col("facet").alias("key"),
+        "n",
+    )
+    nfound = (
+        matching_doc_ids(spark, idx, FT_QUERY)
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.lit("match_count").alias("kind"),
+            F.lit("all").alias("key"),
+            "n",
+        )
+    )
+    return hist.unionByName(facets).unionByName(nfound)
 
 
 _DOCLEN_CACHE: dict[str, tuple] = {}
@@ -1944,6 +1975,7 @@ common as (
 def oracle_sql() -> dict[str, str]:
     qm = "'[\\p{L}\\p{N}\\p{M}]+'"
     terms_in = ", ".join(f"'{t}'" for t in FT_TERMS)
+    ftq_terms = ", ".join(f"'{t}'" for t in sorted(set(FT_QUERY.split())))
     multi = "\nunion all\n".join(
         f"select {qid} as query_id, 'plain' as mode, doc_id, score "
         f"from ({_bm25_sql(q.split(), 5)})"
@@ -2033,9 +2065,16 @@ order by cf desc, term asc limit 20
 """,
         "ft_df_histogram": f"""
 with toks as ({_TOKS}),
-dft as (select term, count(distinct doc_id) as df from toks group by term)
-select cast(floor(log2(df)) as bigint) as df_bucket, count(*) as n_terms
-from dft group by 1
+dft as (select term, count(distinct doc_id) as df from toks group by term),
+m as (select distinct doc_id from toks where term in ({ftq_terms}))
+select 'df_bucket' as kind, cast(df_bucket as varchar) as key, n from (
+  select cast(floor(log2(df)) as bigint) as df_bucket, count(*) as n
+  from dft group by 1)
+union all
+select 'facet_lang' as kind, lang as key, count(*) as n
+from m join documents using(doc_id) group by lang
+union all
+select 'match_count' as kind, 'all' as key, count(*) as n from m
 """,
         "ft_bm25_multi": multi,
         "ft_bm25_bmw": _bm25_sql(FT_QUERY.split(), 10),

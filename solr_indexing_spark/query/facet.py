@@ -1,0 +1,146 @@
+"""Facet counts over the matching set — Solr faceting (facet.field on the
+search handler), the navigation surface of every Solr deployment like the
+reference's (court / year / doctype counts next to legal search results).
+
+Semantics match Solr: for the docs matching the analyzed query (disjunctive
+— any term; Lucene's default OR), count documents per value of a stored
+metadata column, tombstoned docs excluded, optionally intersected with a
+filter query (fq) — counts are over the match set, BM25 scores play no
+part.
+
+Plan shape (all distributed, no driver materialization):
+
+    postings (bucket + term pruned scan) ──mapInPandas decode──▶ doc_id
+    rows ──distinct──▶ anti-join tombstones [──semi-join fq──] ──join docs
+    (metadata cols only, column-pruned scan)──▶ groupBy(col).count()
+
+The decode UDF emits one int64 column from the delta-compressed gap
+buffers; volume is the query terms' posting count, partitioned by the
+pruned scan. The distinct and the docs join are ordinary shuffles on
+doc_id — the same keys the engine shuffles everywhere else.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..codec import delta_decode
+from ..indexing.build import _term_bucket_py, read_docs, read_manifest
+from ..textprep import ANALYZERS
+
+
+def _decode_ids(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        chunks = [
+            delta_decode(int(r.first_doc_id), bytes(r.doc_gaps), int(r.n_docs))
+            for r in pdf.itertuples()
+        ]
+        yield pd.DataFrame(
+            {"doc_id": np.concatenate(chunks).astype(np.int64)}
+        )
+
+
+def matching_doc_ids(
+    spark: SparkSession,
+    index_dir: str | list[str],
+    query,
+) -> DataFrame:
+    """Distinct live doc_ids matching ANY analyzed query term (the Lucene
+    OR match set) across a segment or chain — the input to faceting,
+    match counting, and export jobs. Lazy; one pruned postings scan."""
+    dirs = [index_dir] if isinstance(index_dir, str) else list(index_dir)
+    mans = [read_manifest(d) for d in dirs]
+    man = mans[0]
+    if isinstance(query, (list, tuple, set, frozenset)):
+        terms = sorted({str(t).lower() for t in query})
+    else:
+        tokenizer = ANALYZERS.get(
+            man.get("analyzer", "default"), ANALYZERS["default"]
+        )[2]
+        terms = sorted(set(tokenizer(query)))
+    if not terms:
+        return spark.createDataFrame([], "doc_id long")
+    buckets = sorted(
+        {_term_bucket_py(t, man["num_buckets"]) for t in terms}
+    )
+    post = spark.read.parquet(f"{dirs[0]}/postings")
+    for d in dirs[1:]:
+        post = post.unionByName(spark.read.parquet(f"{d}/postings"))
+    ids = (
+        post.filter(
+            F.col("bucket").isin(buckets) & F.col("term").isin(terms)
+        )
+        .select("first_doc_id", "n_docs", "doc_gaps")
+        .mapInPandas(_decode_ids, "doc_id long")
+        .distinct()
+    )
+    for d in dirs:
+        if os.path.exists(f"{d}/tombstones"):
+            ids = ids.join(
+                spark.read.parquet(f"{d}/tombstones").select("doc_id"),
+                "doc_id",
+                "left_anti",
+            )
+    return ids
+
+
+def facet_counts(
+    spark: SparkSession,
+    index_dir: str | list[str],
+    query,
+    col: str = "lang",
+    allow: DataFrame | None = None,
+    max_values: int | None = None,
+) -> DataFrame:
+    """(facet, n) — live matching-doc count per value of stored metadata
+    column ``col``, ordered by (n desc, facet asc); ``max_values`` caps the
+    output like Solr's facet.limit. ``allow``: optional fq doc set
+    (DataFrame of doc_id) intersected with the match set. Null column
+    values group as NULL, matching Solr's facet.missing bucket."""
+    dirs = [index_dir] if isinstance(index_dir, str) else list(index_dir)
+    ids = matching_doc_ids(spark, dirs, query)
+    if allow is not None:
+        ids = ids.join(
+            allow.select("doc_id").distinct(), "doc_id", "left_semi"
+        )
+    mans = [read_manifest(d) for d in dirs]
+
+    def _meta(d, m):
+        # a segment built from html-only input may lack the metadata
+        # column — its docs land in the NULL (facet.missing) bucket
+        t = read_docs(spark, d, m)
+        if col in t.columns:
+            return t.select("doc_id", col)
+        return t.select("doc_id", F.lit(None).cast("string").alias(col))
+
+    docs = _meta(dirs[0], mans[0])
+    for d, m in zip(dirs[1:], mans[1:]):
+        docs = docs.unionByName(_meta(d, m))
+    out = (
+        ids.join(docs, "doc_id")
+        .groupBy(F.col(col).alias("facet"))
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("facet"))
+    )
+    return out.limit(max_values) if max_values else out
+
+
+def match_count(
+    spark: SparkSession, index_dir: str | list[str], query, allow=None
+) -> int:
+    """numFound — live docs matching any analyzed query term (with an
+    optional fq set), without scoring. One Spark job."""
+    ids = matching_doc_ids(spark, index_dir, query)
+    if allow is not None:
+        ids = ids.join(
+            allow.select("doc_id").distinct(), "doc_id", "left_semi"
+        )
+    return ids.count()
