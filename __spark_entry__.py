@@ -321,9 +321,16 @@ def _ft_bm25_multi(spark, sf_dir):
     filter query (fq): query 1 restricted to English documents
     (lang = 'en'), exact inside the kernels (no over-fetch window), BM25
     statistics corpus-global. Oracle: same brute CTE with the candidate
-    set filtered after scoring."""
+    set filtered after scoring.
+
+    MLT mode (mode='mlt'): ``more_like_this`` — Lucene MLT: doc 3's terms
+    noise-filtered by df (min_df=2, max_df_frac=0.85; max_terms high
+    enough that no truncation occurs, so term selection is tie-proof),
+    rescored disjunctively, source doc excluded. Oracle recomputes the
+    interesting-term set and the BM25 rescoring from the token stream."""
     from solr_indexing_spark.query.batch import topk_batch
     from solr_indexing_spark.query.bmw import topk_boosted, topk_filtered
+    from solr_indexing_spark.query.mlt import more_like_this
 
     out = None
     for qid, q in FT_QUERIES.items():
@@ -366,10 +373,22 @@ def _ft_bm25_multi(spark, sf_dir):
         )
         .withColumn("mode", F.lit("filtered"))
     )
+    mlt = (
+        more_like_this(
+            spark, idx, 3, k=5, max_terms=100, min_df=2, max_df_frac=0.85
+        )
+        .select(
+            F.lit(1).alias("query_id"),
+            "doc_id",
+            F.round("score", 4).alias("score"),
+        )
+        .withColumn("mode", F.lit("mlt"))
+    )
     return (
         out.unionByName(boosted)
         .unionByName(batch)
         .unionByName(filtered)
+        .unionByName(mlt)
         .select("query_id", "mode", "doc_id", "score")
     )
 
@@ -2025,6 +2044,30 @@ select query_id, mode, doc_id, score from (
         + _bm25_sql(FT_QUERY.split(), 5, allow_pred="lang = 'en'")
         + ")"
     )
+    # mlt mode: doc 3's interesting terms (df noise filters, no
+    # truncation) rescored disjunctively, source excluded — mirrors
+    # query/mlt.py more_like_this
+    multi += f"""
+union all
+select 1 as query_id, 'mlt' as mode, doc_id, score from (
+  with toks as ({_TOKS}),
+  dl as (select doc_id, count(*) as doclen from toks group by doc_id),
+  stats as (select count(*) as n, avg(doclen) as avgdl from dl),
+  dfs as (select term, count(distinct doc_id) as df from toks group by term),
+  q as (select distinct t.term
+        from toks t join dfs d using(term) cross join stats s
+        where t.doc_id = 3 and d.df >= 2 and d.df <= 0.85 * s.n),
+  tf as (select t.term, t.doc_id, count(*) as tf
+         from toks t join q using(term) group by 1, 2),
+  w as (select tf.doc_id,
+               ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) * tf.tf * 2.2
+               / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.doclen / s.avgdl)) as w
+        from tf join dfs d using(term) join dl using(doc_id)
+        cross join stats s)
+  select doc_id, round(sum(w), 4) as score from w where doc_id <> 3
+  group by doc_id order by sum(w) desc, doc_id asc limit 5
+)
+"""
     simhash_votes = ", ".join(
         f"sum(case when (h & {1 << b}) != 0 then tf else -tf end) as v{b}"
         for b in range(16)
