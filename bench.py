@@ -164,6 +164,32 @@ def main() -> None:
     )
     batch_qps = round(len(batch_queries) / timings["q_bm25_batch"], 1)
 
+    # --- serving extras (the Solr response surface: fq, facets,
+    # highlighting, MLT — round-4 session-3 features). All warm-session /
+    # small-result paths; runs BEFORE the chain section tombstones idx.
+    allow_en = docs.filter(F.col("lang") == "en").select("doc_id")
+    timed(
+        "q_bm25_filtered",
+        lambda: qsess.topk(entry.FT_QUERY, k=10, allow=allow_en).collect(),
+    )
+    from solr_indexing_spark.query.facet import facet_counts
+
+    timed(
+        "q_facets",
+        lambda: facet_counts(spark, idx, entry.FT_QUERY, col="lang").collect(),
+    )
+    hits10 = qsess.topk(entry.FT_QUERY, k=10)
+    timed(
+        "q_highlight",
+        lambda: qsess.highlight(hits10, entry.FT_QUERY).collect(),
+    )
+    from solr_indexing_spark.query.mlt import more_like_this
+
+    timed(
+        "q_mlt",
+        lambda: more_like_this(spark, idx, 3, k=10).collect(),
+    )
+
     # --- phrase / prefix / completion ------------------------------------
     idx_pos = f"{work}/idx_pos"
     timed(
