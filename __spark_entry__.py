@@ -399,13 +399,30 @@ FT_PHRASE = "hash join"
 def _ft_phrase(spark, sf_dir):
     """Exact-phrase BM25 over positional postings (query/phrase.py) —
     oracle verifies adjacency via LIKE on the joined token stream and
-    re-scores with the same BM25 surface."""
+    re-scores with the same BM25 surface.
+
+    mode='plain': the bare phrase top-10. mode='filtered': the same
+    phrase under an fq (allow = lang='en' docs) — Solr applies filter
+    queries to phrase queries like any main query; the oracle restricts
+    candidates post-match with corpus-global stats, exactly the kernel's
+    contract."""
     from solr_indexing_spark.query.phrase import phrase_topk
 
     idx = _index_dir(spark, sf_dir)
-    return phrase_topk(spark, idx, FT_PHRASE, k=10).select(
-        "doc_id", F.round("score", 4).alias("score")
+    plain = phrase_topk(spark, idx, FT_PHRASE, k=10).select(
+        F.lit("plain").alias("mode"),
+        "doc_id",
+        F.round("score", 4).alias("score"),
     )
+    allow_en = _docs(spark, sf_dir).filter(F.col("lang") == "en").select(
+        "doc_id"
+    )
+    filt = phrase_topk(spark, idx, FT_PHRASE, k=5, allow=allow_en).select(
+        F.lit("filtered").alias("mode"),
+        "doc_id",
+        F.round("score", 4).alias("score"),
+    )
+    return plain.unionByName(filt)
 
 
 def _ft_prefix_search(spark, sf_dir):
@@ -2141,10 +2158,16 @@ w as (select tf.doc_id,
              * tf.tf * 2.2
              / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.doclen / s.avgdl)) as w
       from tf join df using(term) join dl using(doc_id) cross join stats s
-      where tf.doc_id in (select doc_id from matches))
-select doc_id, round(sum(w), 4) as score
-from w group by doc_id
-order by sum(w) desc, doc_id asc limit 10
+      where tf.doc_id in (select doc_id from matches)),
+scored as (select doc_id, round(sum(w), 4) as score
+           from w group by doc_id)
+select 'plain' as mode, doc_id, score from (
+  select * from scored order by score desc, doc_id asc limit 10)
+union all
+select 'filtered' as mode, doc_id, score from (
+  select * from scored
+  where doc_id in (select doc_id from documents where lang = 'en')
+  order by score desc, doc_id asc limit 5)
 """,
         # prefix expansion: q = every corpus term starting with 'sc'
         "ft_prefix_search": f"""

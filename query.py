@@ -76,10 +76,18 @@ def serve(spark, args) -> None:
             # checking per request keeps the session current without
             # re-opening on the hot path
             if job_sess is not None and job_sess.stale():
-                job_sess = job_sess.reopen()
-                sess = job_sess.segments
-                docs.unpersist()
-                docs = _docs_of(job_sess.seg_dirs)
+                try:
+                    job_sess = job_sess.reopen()
+                except Exception:
+                    # the job dir is mid-rearrangement (compaction swap in
+                    # another process): reopen() left the old session
+                    # intact — serve this request from the old generation
+                    # and retry the reopen on the next request
+                    pass
+                else:
+                    sess = job_sess.segments
+                    docs.unpersist()
+                    docs = _docs_of(job_sess.seg_dirs)
             if req.startswith("complete "):
                 prefix = req[len("complete "):]
                 if job_sess is None:
@@ -149,7 +157,7 @@ def main() -> None:
                  "is single-query only")
     if args.phrase and (args.serve or args.mode != "bmw"):
         ap.error("--phrase works with --query or --batch (BMW path)")
-    if args.filter_expr and (args.serve or args.phrase or args.mode != "bmw"):
+    if args.filter_expr and (args.serve or args.mode != "bmw"):
         ap.error("--filter works with --query or --batch on the BMW path")
     if args.snippets and (args.serve or args.mode != "bmw"):
         ap.error("--snippets works with --query or --batch (BMW path)")
@@ -226,7 +234,9 @@ def main() -> None:
             from solr_indexing_spark.query.phrase import phrase_topk_segments
 
             parts = [
-                phrase_topk_segments(spark, seg_dirs, q, k=args.k)
+                phrase_topk_segments(
+                    spark, seg_dirs, q, k=args.k, allow=allow
+                )
                 .withColumn("query_id", F.lit(i))
                 for i, q in queries.items()
             ]
@@ -234,7 +244,9 @@ def main() -> None:
         elif args.phrase:
             from solr_indexing_spark.query.phrase import phrase_topk_batch
 
-            result = phrase_topk_batch(spark, args.index, queries, k=args.k)
+            result = phrase_topk_batch(
+                spark, args.index, queries, k=args.k, allow=allow
+            )
         elif seg_dirs is not None:
             from solr_indexing_spark.indexing.incremental import (
                 SegmentsSession,
@@ -286,7 +298,9 @@ def main() -> None:
     if args.phrase and seg_dirs is not None:
         from solr_indexing_spark.query.phrase import phrase_topk_segments
 
-        result = phrase_topk_segments(spark, seg_dirs, args.query, k=args.k)
+        result = phrase_topk_segments(
+            spark, seg_dirs, args.query, k=args.k, allow=allow
+        )
     elif seg_dirs is not None:
         from solr_indexing_spark.indexing.incremental import topk_segments
 
@@ -296,7 +310,9 @@ def main() -> None:
     elif args.phrase:
         from solr_indexing_spark.query.phrase import phrase_topk
 
-        result = phrase_topk(spark, args.index, args.query, k=args.k)
+        result = phrase_topk(
+            spark, args.index, args.query, k=args.k, allow=allow
+        )
     elif allow is not None:
         from solr_indexing_spark.query.bmw import topk_filtered
 

@@ -158,10 +158,18 @@ def reindex_changed_multi(
     return delta_man
 
 
-def _chain_state(spark: SparkSession, seg_dirs: list[str], mans: list[dict]):
+def _chain_state(
+    spark: SparkSession,
+    seg_dirs: list[str],
+    mans: list[dict],
+    dead=None,
+):
     """Shared chain assembly: validated combined manifest (live n_docs /
     avgdl), union dictionary, union postings, union dead set. Tombstone
-    parquet is read once per segment, here."""
+    parquet is read once per segment, here. A caller holding a precomputed
+    dead set passes it as ``dead`` — then only the per-segment statistics
+    aggregates run (one scalar agg each), no membership materialization
+    or driver collect."""
     num_buckets = {m["num_buckets"] for m in mans}
     analyzers = {m.get("analyzer", "default") for m in mans}
     if len(num_buckets) != 1 or len(analyzers) != 1:
@@ -173,11 +181,15 @@ def _chain_state(spark: SparkSession, seg_dirs: list[str], mans: list[dict]):
     # once and reuses them for every query (see SegmentsSession)
     deads, n_dead, dead_tok = [], 0, 0
     for d in seg_dirs:
-        dset, n, tok = load_tombstones(spark, d, with_stats=True)
-        deads.append(dset)
+        dset, n, tok = load_tombstones(
+            spark, d, with_stats=True, membership=dead is None
+        )
+        if dead is None:
+            deads.append(dset)
         n_dead += n
         dead_tok += tok
-    dead = union_dead(spark, deads)
+    if dead is None:
+        dead = union_dead(spark, deads)
 
     # live-doc stats: tombstones carry doclen, so the correction is exact
     n_total = max(sum(m["n_docs"] for m in mans) - n_dead, 0)
@@ -391,16 +403,17 @@ def topk_segments(
     ``dead``: optional precomputed dead set (e.g. a prior
     ``union_dead(spark, [load_tombstones(spark, d) for d in seg_dirs])``)
     — membership only; the statistics correction is still exact because it
-    comes from the per-segment tombstone aggregates, recomputed here.
+    comes from the per-segment tombstone aggregates (one scalar agg per
+    segment — no membership rebuild when ``dead`` is supplied).
     """
     from ..query.bmw import make_allow
 
     mans = [read_manifest(d) for d in seg_dirs]
     man, dictionary, postings, chain_dead = _chain_state(
-        spark, seg_dirs, mans
+        spark, seg_dirs, mans, dead=dead
     )
     return _topk_impl(
         spark, man, dictionary, postings, query, k, shard_range,
-        dead=dead if dead is not None else chain_dead,
+        dead=chain_dead,
         allow=make_allow(spark, allow),
     )

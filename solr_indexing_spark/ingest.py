@@ -215,31 +215,73 @@ def run_ingest(
 
 
 def _recover_swap(dest: str) -> None:
-    """Roll back a ``_swap_dir`` interrupted between its two renames
-    (``dest`` absent, ``dest.old`` present): restore the old tree. Safe
-    because a swap is the LAST step of its commit — at the moment of the
-    crash the old tree's chain (deltas, manifests) is still fully on disk,
-    so rolling back returns the job to its exact pre-commit state and the
-    staged new tree (still under its staging name) is re-created or
-    re-swapped by the retried operation."""
+    """Roll back a fallback ``_swap_dir`` interrupted between its two
+    renames (``dest`` absent, ``dest.old`` present): restore the old tree.
+    Safe because a swap is the LAST step of its commit — at the moment of
+    the crash the old tree's chain (deltas, manifests) is still fully on
+    disk, so rolling back returns the job to its exact pre-commit state
+    and the staged new tree (still under its staging name) is re-created
+    or re-swapped by the retried operation.
+
+    Race-tolerant: two concurrent recoverers (or a recoverer racing the
+    in-flight swap's second rename) can both pass the exists() checks;
+    whoever loses gets an OSError from ``os.replace`` — by then ``dest``
+    is live either way, so the loser swallows it."""
     old = f"{dest}.old"
     if not os.path.exists(dest) and os.path.exists(old):
-        os.replace(old, dest)
+        try:
+            os.replace(old, dest)
+        except OSError:
+            pass  # another process restored dest (or the swap completed)
+
+
+def _exchange_dirs(a: str, b: str) -> bool:
+    """Atomically exchange paths ``a`` and ``b`` via Linux
+    ``renameat2(RENAME_EXCHANGE)``. Returns False when the syscall or the
+    filesystem doesn't support it (non-Linux, old kernel, some network
+    filesystems) — callers fall back to the two-rename protocol."""
+    import ctypes
+
+    try:
+        libc = ctypes.CDLL(None, use_errno=True)
+        renameat2 = libc.renameat2
+    except (OSError, AttributeError):
+        return False
+    AT_FDCWD = -100
+    RENAME_EXCHANGE = 2
+    r = renameat2(
+        AT_FDCWD, os.fsencode(a), AT_FDCWD, os.fsencode(b), RENAME_EXCHANGE
+    )
+    return r == 0
 
 
 def _swap_dir(new_dir: str, dest: str) -> None:
-    """Swap ``new_dir`` into place at ``dest``: rename-old → rename-new →
-    delete-old. The old tree is never deleted before the new one is in
-    place; the one crash window (between the two renames) leaves ``dest``
-    absent with ``dest.old`` intact, which ``_recover_swap`` rolls back —
-    readers (``job_segments``, ``completion_tables``) and the retried
-    compaction all run it first, so no interleaving loses data."""
+    """Swap ``new_dir`` into place at ``dest``.
+
+    Primary path (Linux): one atomic ``renameat2(RENAME_EXCHANGE)`` —
+    ``dest`` is never absent, so concurrent readers (``job_segments``,
+    ``completion_tables``, a ``query.py --serve`` staleness probe) can
+    never observe a half-done swap, and their ``_recover_swap`` has
+    nothing to roll back. The old tree lands under the staging name and
+    is deleted as cleanup.
+
+    Fallback (no exchange support): rename-old → rename-new → delete-old.
+    The old tree is never deleted before the new one is in place; the one
+    crash window (between the two renames) leaves ``dest`` absent with
+    ``dest.old`` intact, which ``_recover_swap`` rolls back. A concurrent
+    reader's recovery racing the live swap can make the swapper's second
+    rename fail — the commit aborts with data intact and a retry
+    succeeds; single-process operation (or an exchange-capable
+    filesystem) has no such window."""
     import shutil
 
     _recover_swap(dest)  # roll back a prior interrupted swap first
     old = f"{dest}.old"
     shutil.rmtree(old, ignore_errors=True)  # leftover from a prior crash
     if os.path.exists(dest):
+        if _exchange_dirs(new_dir, dest):
+            shutil.rmtree(new_dir, ignore_errors=True)  # now the old tree
+            return
         os.replace(dest, old)
     os.replace(new_dir, dest)
     shutil.rmtree(old, ignore_errors=True)
@@ -530,21 +572,26 @@ class JobSession:
         self._generation = self._current_generation()
 
     def _current_generation(self) -> tuple:
+        """Snapshot of everything a partial re-index / compaction changes:
+        the chain's segment set, each segment's tombstone file listing
+        (name, size, mtime), and the completion table set. Pure os.stat —
+        no parquet footer opens, so the per-request staleness probe stays
+        O(directory listing) however many small tombstone files churn has
+        accumulated."""
         import glob as _glob
 
-        tomb_counts = []
+        tomb_sigs = []
         for d in job_segments(self.out_dir, self._variant):
-            n = 0
+            sig = []
             for f in sorted(_glob.glob(f"{d}/tombstones/*.parquet")):
                 try:
-                    import pyarrow.parquet as pq
-
-                    n += pq.ParquetFile(f).metadata.num_rows
-                except Exception:  # noqa: BLE001 — file mid-write
-                    n += 1
-            tomb_counts.append((d, n))
+                    st = os.stat(f)
+                    sig.append((f, st.st_size, st.st_mtime_ns))
+                except OSError:  # file vanished mid-listing
+                    sig.append((f, -1, -1))
+            tomb_sigs.append((d, tuple(sig)))
         return (
-            tuple(tomb_counts),
+            tuple(tomb_sigs),
             tuple(completion_tables(self.out_dir)),
         )
 
@@ -556,16 +603,21 @@ class JobSession:
         return self._generation != self._current_generation()
 
     def reopen(self) -> "JobSession":
-        """Fresh session over the job's CURRENT generation (the old one
-        is closed). Returns the new session."""
-        self.close()
-        return JobSession(
+        """Fresh session over the job's CURRENT generation. The new
+        session is constructed FIRST and the old one closed only on
+        success — if the job directory is mid-rearrangement (a compaction
+        swapping dirs under us), the constructor raises and the caller
+        keeps its still-usable old session instead of being left with a
+        closed (unpersisted) one."""
+        new = JobSession(
             self.spark,
             self.out_dir,
             analyzer=None if self.analyzer == "default" else self.analyzer,
             cache_dictionary=self._cache_dictionary,
             cache_postings=self._cache_postings,
         )
+        self.close()
+        return new
 
     def topk(self, query: str, k: int = 10, allow=None) -> DataFrame:
         """BM25 top-k (doc_id, score) over the variant's live chain.

@@ -67,6 +67,27 @@ WORK_PER_QUERY_SHARD = 1 << 15
 TERM_ISIN_MAX = 256
 
 
+def filter_terms(df: DataFrame, terms) -> DataFrame:
+    """Prune a postings/dictionary frame to an exact term set — the ONE
+    implementation of the isin-vs-semi-join policy every term-pruned query
+    path shares (single/batch BMW, phrase, MLT, facets): a literal IN-list
+    (parquet row-group pushdown) for small sets, a broadcast semi-join
+    past ``TERM_ISIN_MAX`` (a many-thousand-literal IN bloats analysis
+    and the task binary without buying extra pruning)."""
+    terms = list(terms)
+    if len(terms) <= TERM_ISIN_MAX:
+        return df.filter(F.col("term").isin(terms))
+    return df.join(
+        F.broadcast(
+            df.sparkSession.createDataFrame(
+                [(t,) for t in terms], "term string"
+            )
+        ),
+        "term",
+        "left_semi",
+    )
+
+
 def _resolve_term_meta(
     man: dict,
     dictionary: DataFrame,
@@ -93,22 +114,9 @@ def _resolve_term_meta(
         }
     if misses:
         buckets = sorted({_term_bucket_py(t, num_buckets) for t in misses})
-        d = dictionary.filter(F.col("bucket").isin(buckets))
-        if len(misses) <= TERM_ISIN_MAX:
-            d = d.filter(F.col("term").isin(misses))
-        else:
-            # huge miss sets (first call of a large batch): broadcast
-            # semi-join instead of a many-thousand-literal IN-list
-            spark = dictionary.sparkSession
-            d = d.join(
-                F.broadcast(
-                    spark.createDataFrame(
-                        [(t,) for t in misses], "term string"
-                    )
-                ),
-                "term",
-                "left_semi",
-            )
+        d = filter_terms(
+            dictionary.filter(F.col("bucket").isin(buckets)), misses
+        )
         dict_rows = d.collect()
         found = {}
         for r in dict_rows:
@@ -214,19 +222,9 @@ def _topk_batch_impl(
     qids_sorted = sorted(q_terms)
     q_group = {qid: i % n_groups for i, qid in enumerate(qids_sorted)}
 
-    pruned = postings.filter(F.col("bucket").isin(buckets))
-    if len(live_terms) <= TERM_ISIN_MAX:
-        pruned = pruned.filter(F.col("term").isin(live_terms))
-    else:
-        pruned = pruned.join(
-            F.broadcast(
-                spark.createDataFrame(
-                    [(t,) for t in live_terms], "term string"
-                )
-            ),
-            "term",
-            "left_semi",
-        )
+    pruned = filter_terms(
+        postings.filter(F.col("bucket").isin(buckets)), live_terms
+    )
     blocks = (
         pruned
         .select(

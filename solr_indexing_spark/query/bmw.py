@@ -447,9 +447,12 @@ def make_allow(
         return allow
     if isinstance(allow, DataFrame):
         df = allow.select("doc_id").distinct()
-        n = df.count()
-        if n <= broadcast_threshold:
-            return frozenset(int(r["doc_id"]) for r in df.collect())
+        # one bounded job resolves both the size check and the rows
+        # (count()-then-collect() would evaluate the frame twice per
+        # request on the session fq path)
+        rows = df.limit(broadcast_threshold + 1).collect()
+        if len(rows) <= broadcast_threshold:
+            return frozenset(int(r["doc_id"]) for r in rows)
         return AllowFrame(df)
     return frozenset(int(d) for d in allow)
 
@@ -494,6 +497,7 @@ def load_tombstones(
     index_dir: str,
     broadcast_threshold: int = TOMBSTONE_BROADCAST_THRESHOLD,
     with_stats: bool = False,
+    membership: bool = True,
 ):
     """Tombstoned doc_ids of a segment (empty frozenset if none); with
     ``with_stats`` a ``(membership, n_dead, dead_tokens)`` triple from the
@@ -510,21 +514,40 @@ def load_tombstones(
     a :class:`TombstoneFrame` and the query path joins them in by shard —
     the driver never materializes O(churn) rows. Stats aggregate over
     doc_id-distinct rows so pre-dedup-guard tombstone files can't drift
-    idf / go negative under churn."""
+    idf / go negative under churn.
+
+    ``membership=False`` (with_stats only): return ``(None, n, tok)`` —
+    just the statistics correction, no dead-set materialization. The
+    chain path uses this when the caller already holds a precomputed
+    dead set (topk_segments ``dead=``), so no driver collect / frame
+    construction is paid for a membership object that would be thrown
+    away."""
     if not os.path.exists(f"{index_dir}/tombstones"):
-        return (frozenset(), 0, 0) if with_stats else frozenset()
+        if with_stats:
+            return (frozenset() if membership else None), 0, 0
+        return frozenset()
     if not with_stats:
         df = (
             spark.read.parquet(f"{index_dir}/tombstones")
             .select("doc_id")
             .distinct()
         )
-        n = df.count()
-        if n == 0:
+        # one bounded job for both the size check and the rows
+        rows = df.limit(broadcast_threshold + 1).collect()
+        if not rows:
             return frozenset()
-        if n <= broadcast_threshold:
-            return frozenset(r["doc_id"] for r in df.collect())
+        if len(rows) <= broadcast_threshold:
+            return frozenset(r["doc_id"] for r in rows)
         return TombstoneFrame(df)
+
+    if not membership:
+        row = (
+            spark.read.parquet(f"{index_dir}/tombstones")
+            .dropDuplicates(["doc_id"])
+            .agg(F.count("*").alias("n"), F.sum("doclen").alias("tok"))
+            .collect()[0]
+        )
+        return None, int(row["n"] or 0), int(row["tok"] or 0)
 
     dd = (
         spark.read.parquet(f"{index_dir}/tombstones")

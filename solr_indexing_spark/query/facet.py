@@ -58,6 +58,14 @@ def matching_doc_ids(
     match counting, and export jobs. Lazy; one pruned postings scan."""
     dirs = [index_dir] if isinstance(index_dir, str) else list(index_dir)
     mans = [read_manifest(d) for d in dirs]
+    # same gate every other chain entry point enforces (_chain_state):
+    # a mixed chain would bucket-prune with dirs[0]'s num_buckets and
+    # silently drop the other segments' matches — error, don't undercount
+    if (
+        len({m["num_buckets"] for m in mans}) != 1
+        or len({m.get("analyzer", "default") for m in mans}) != 1
+    ):
+        raise ValueError("segments disagree on num_buckets/analyzer")
     man = mans[0]
     if isinstance(query, (list, tuple, set, frozenset)):
         terms = sorted({str(t).lower() for t in query})
@@ -74,10 +82,10 @@ def matching_doc_ids(
     post = spark.read.parquet(f"{dirs[0]}/postings")
     for d in dirs[1:]:
         post = post.unionByName(spark.read.parquet(f"{d}/postings"))
+    from .batch import filter_terms
+
     ids = (
-        post.filter(
-            F.col("bucket").isin(buckets) & F.col("term").isin(terms)
-        )
+        filter_terms(post.filter(F.col("bucket").isin(buckets)), terms)
         .select("first_doc_id", "n_docs", "doc_gaps")
         .mapInPandas(_decode_ids, "doc_id long")
         .distinct()

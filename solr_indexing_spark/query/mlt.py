@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from ..indexing.build import _term_bucket_py, read_docs, read_manifest
 from ..textprep import ANALYZERS
-from .batch import TERM_ISIN_MAX
+from .batch import filter_terms
 from .bmw import _topk_impl, load_tombstones, union_dead
 
 
@@ -59,19 +59,12 @@ def interesting_terms(
     buckets = sorted(
         {_term_bucket_py(t, man["num_buckets"]) for t in terms}
     )
-    d = spark.read.parquet(f"{index_dir}/dictionary").filter(
-        F.col("bucket").isin(buckets)
+    d = filter_terms(
+        spark.read.parquet(f"{index_dir}/dictionary").filter(
+            F.col("bucket").isin(buckets)
+        ),
+        terms,
     )
-    if len(terms) <= TERM_ISIN_MAX:
-        d = d.filter(F.col("term").isin(terms))
-    else:
-        d = d.join(
-            F.broadcast(
-                spark.createDataFrame([(t,) for t in terms], "term string")
-            ),
-            "term",
-            "left_semi",
-        )
     df_of = {r["term"]: int(r["df"]) for r in d.select("term", "df").collect()}
     n = man["n_docs"]
     out = []

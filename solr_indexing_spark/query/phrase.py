@@ -67,7 +67,13 @@ def phrase_topk(
     phrase: str,
     k: int = 10,
     shard_range: int | None = None,
+    allow=None,
 ) -> DataFrame:
+    """``allow``: optional fq doc set (DataFrame of doc_id / iterable of
+    ids) — Solr applies filter queries to phrase queries like any other
+    main query; so do we."""
+    from .bmw import make_allow
+
     man = read_manifest(index_dir)
     if not man.get("positions"):
         raise ValueError(
@@ -83,6 +89,7 @@ def phrase_topk(
         k,
         shard_range,
         dead=load_tombstones(spark, index_dir),
+        allow=make_allow(spark, allow),
     )
 
 
@@ -92,13 +99,16 @@ def phrase_topk_segments(
     phrase: str,
     k: int = 10,
     shard_range: int | None = None,
+    allow=None,
 ) -> DataFrame:
     """Exact-phrase top-k across a segment CHAIN (base + deltas) — the
     pre-merge serving path for positional jobs, mirroring
     ``incremental.topk_segments``: combined live statistics (df summed in
     the union dictionary, doc-weighted avgdl corrected by tombstones),
-    union positional postings, union dead set."""
+    union positional postings, union dead set. ``allow``: optional fq
+    doc set."""
     from ..indexing.incremental import _chain_state
+    from .bmw import make_allow
 
     mans = [read_manifest(d) for d in seg_dirs]
     if not all(m.get("positions") for m in mans):
@@ -108,7 +118,8 @@ def phrase_topk_segments(
         )
     man, dictionary, postings, dead = _chain_state(spark, seg_dirs, mans)
     return _phrase_impl(
-        spark, man, dictionary, postings, phrase, k, shard_range, dead=dead
+        spark, man, dictionary, postings, phrase, k, shard_range, dead=dead,
+        allow=make_allow(spark, allow),
     )
 
 
@@ -121,6 +132,7 @@ def _phrase_impl(
     k: int,
     shard_range: int | None,
     dead=frozenset(),
+    allow=None,
 ) -> DataFrame:
     if shard_range is None:
         from .bmw import _auto_shard_range
@@ -180,14 +192,15 @@ def _phrase_impl(
     kk, rr, avg = k, shard_range, avgdl
     idf_b, uniq_b, offs_b = idf, uniq, offsets
 
-    def run_shard(pdf: pd.DataFrame, dead_local) -> pd.DataFrame:
+    def run_shard(pdf: pd.DataFrame, dead_local, allow_local) -> pd.DataFrame:
         shard = int(pdf["shard"].iloc[0])
         lo, hi = shard * rr, (shard + 1) * rr
         per_term = {}
         for term, g in pdf.groupby("term", sort=True):
             per_term[term] = _decode_shard_postings(g, lo, hi)
         results = _phrase_shard_kernel(
-            per_term, uniq_b, offs_b, idf_b, kk, avg, dead_local
+            per_term, uniq_b, offs_b, idf_b, kk, avg, dead_local,
+            allow=allow_local,
         )
         return pd.DataFrame(results, columns=["doc_id", "score"]).astype(
             {"doc_id": "int64", "score": "float64"}
@@ -195,35 +208,64 @@ def _phrase_impl(
 
     from .bmw import TombstoneFrame
 
-    if isinstance(dead, TombstoneFrame):
-        # large-churn path: the dead set stays a DataFrame, shuffled once
-        # by the same shard key and cogrouped (same shape as bmw/batch —
-        # the closure form would need a __contains__ the frame cannot
-        # offer without a driver collect)
-        dead_by_shard = dead.df.select(
+    dead_is_frame = isinstance(dead, TombstoneFrame)
+    allow_is_frame = isinstance(allow, TombstoneFrame)  # incl. AllowFrame
+    if dead_is_frame or allow_is_frame:
+        # large-churn / large-filter path: the doc-id sets stay DataFrames,
+        # shuffled ONCE (unioned, an is_dead flag telling tombstones from
+        # fq rows) by the same shard key the blocks use, then cogrouped —
+        # the exact shape bmw/batch use, so the paths can't diverge
+        sides = []
+        if dead_is_frame:
+            sides.append(
+                dead.df.select("doc_id", F.lit(True).alias("is_dead"))
+            )
+        if allow_is_frame:
+            sides.append(
+                allow.df.select("doc_id", F.lit(False).alias("is_dead"))
+            )
+        right_rows = sides[0] if len(sides) == 1 else sides[0].unionByName(
+            sides[1]
+        )
+        right_by_shard = right_rows.select(
             (F.col("doc_id") / F.lit(shard_range)).cast("long").alias("shard"),
             "doc_id",
+            "is_dead",
         )
+        closure_dead = frozenset() if dead_is_frame else dead
+        closure_allow = None if allow_is_frame else allow
+        has_dead_frame, has_allow_frame = dead_is_frame, allow_is_frame
 
         def run_cg(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
             if not len(left):
                 return pd.DataFrame({"doc_id": [], "score": []}).astype(
                     {"doc_id": "int64", "score": "float64"}
                 )
-            return run_shard(
-                left, frozenset(int(x) for x in right["doc_id"])
-            )
+            if has_dead_frame:
+                dead_local = frozenset(
+                    int(x) for x in right.loc[right["is_dead"], "doc_id"]
+                )
+            else:
+                dead_local = closure_dead
+            if has_allow_frame:
+                # an fq shard with no allow rows admits nothing — correct
+                allow_local = frozenset(
+                    int(x) for x in right.loc[~right["is_dead"], "doc_id"]
+                )
+            else:
+                allow_local = closure_allow
+            return run_shard(left, dead_local, allow_local)
 
         candidates = (
             blocks.groupBy("shard")
-            .cogroup(dead_by_shard.groupBy("shard"))
+            .cogroup(right_by_shard.groupBy("shard"))
             .applyInPandas(run_cg, _OUT)
         )
     else:
-        dead_b = dead
+        dead_b, allow_b = dead, allow
 
         def run(pdf: pd.DataFrame) -> pd.DataFrame:
-            return run_shard(pdf, dead_b)
+            return run_shard(pdf, dead_b, allow_b)
 
         candidates = blocks.groupBy("shard").applyInPandas(run, _OUT)
     return candidates.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
@@ -237,10 +279,13 @@ def _phrase_shard_kernel(
     k: int,
     avgdl: float,
     dead,
+    allow=None,
 ) -> list[tuple[int, float]]:
     """Conjunction + adjacency + BM25 within one shard's decoded postings
     (``per_term``: {term: {doc: (tf, dl, positions)}}). Shared by the
-    single-phrase and batched paths so semantics can never diverge."""
+    single-phrase and batched paths so semantics can never diverge.
+    ``allow``: optional fq membership — docs outside it are skipped,
+    same contract as the disjunctive kernels."""
     if any(t not in per_term for t in uniq):
         return []  # AND semantics: a term absent from the shard → no doc
     # conjunction: iterate the smallest term's docs
@@ -254,6 +299,8 @@ def _phrase_shard_kernel(
     results = []
     for doc in smallest:
         if doc in dead:
+            continue
+        if allow is not None and doc not in allow:
             continue
         entries = {}
         ok = True
@@ -298,6 +345,7 @@ def phrase_topk_batch(
     phrases: dict,
     k: int = 10,
     shard_range: int | None = None,
+    allow=None,
 ) -> DataFrame:
     """Batched exact-phrase top-k — P phrases in ONE Spark job, the
     phrase twin of ``query/batch.topk_batch`` (same grid: union-of-terms
@@ -309,9 +357,12 @@ def phrase_topk_batch(
     ``phrases``: {query_id: phrase string}. Output (query_id, doc_id,
     score); phrases with any dictionary-missing term yield no rows (AND
     semantics). query_id is long when every id is an int, else string.
+    ``allow``: optional fq doc set applied to every phrase in the batch.
     """
-    from .batch import BATCH_MIN_SHARD_RANGE, TERM_ISIN_MAX
-    from .bmw import TombstoneFrame
+    from .batch import BATCH_MIN_SHARD_RANGE, filter_terms
+    from .bmw import TombstoneFrame, make_allow
+
+    allow = make_allow(spark, allow)
 
     man = read_manifest(index_dir)
     if not man.get("positions"):
@@ -365,21 +416,12 @@ def phrase_topk_batch(
 
     all_terms = sorted({t for uniq, _ in per_q.values() for t in uniq})
     buckets = sorted({_term_bucket_py(t, num_buckets) for t in all_terms})
-    d = spark.read.parquet(f"{index_dir}/dictionary").filter(
-        F.col("bucket").isin(buckets)
+    d = filter_terms(
+        spark.read.parquet(f"{index_dir}/dictionary").filter(
+            F.col("bucket").isin(buckets)
+        ),
+        all_terms,
     )
-    if len(all_terms) <= TERM_ISIN_MAX:
-        d = d.filter(F.col("term").isin(all_terms))
-    else:
-        d = d.join(
-            F.broadcast(
-                spark.createDataFrame(
-                    [(t,) for t in all_terms], "term string"
-                )
-            ),
-            "term",
-            "left_semi",
-        )
     dict_rows = d.collect()
     idf = {
         r["term"]: math.log(1.0 + (n_docs - r["df"] + 0.5) / (r["df"] + 0.5))
@@ -404,21 +446,12 @@ def phrase_topk_batch(
     for qid in qids_sorted:
         group_qids.setdefault(q_group[qid], []).append(qid)
 
-    pruned = spark.read.parquet(f"{index_dir}/postings").filter(
-        F.col("bucket").isin(buckets)
+    pruned = filter_terms(
+        spark.read.parquet(f"{index_dir}/postings").filter(
+            F.col("bucket").isin(buckets)
+        ),
+        live_terms,
     )
-    if len(live_terms) <= TERM_ISIN_MAX:
-        pruned = pruned.filter(F.col("term").isin(live_terms))
-    else:
-        pruned = pruned.join(
-            F.broadcast(
-                spark.createDataFrame(
-                    [(t,) for t in live_terms], "term string"
-                )
-            ),
-            "term",
-            "left_semi",
-        )
     blocks = (
         pruned.select(
             "term", "first_doc_id", "last_doc_id", "n_docs",
@@ -465,7 +498,9 @@ def phrase_topk_batch(
     kk, rr, avg = k, shard_range, avgdl
     qid_dtype = "int64" if int_ids else "object"
 
-    def shard_batch(pdf: pd.DataFrame, dead_local) -> pd.DataFrame:
+    def shard_batch(
+        pdf: pd.DataFrame, dead_local, allow_local
+    ) -> pd.DataFrame:
         shard = int(pdf["shard"].iloc[0])
         group = int(pdf["qgroup"].iloc[0])
         lo, hi = shard * rr, (shard + 1) * rr
@@ -478,7 +513,8 @@ def phrase_topk_batch(
         for qid in group_qids.get(group, ()):
             uniq, offs = per_q[qid]
             for doc, score in _phrase_shard_kernel(
-                per_term, uniq, offs, idf, kk, avg, dead_local
+                per_term, uniq, offs, idf, kk, avg, dead_local,
+                allow=allow_local,
             ):
                 out_q.append(qid)
                 out_d.append(doc)
@@ -492,14 +528,34 @@ def phrase_topk_batch(
         )
 
     dead = load_tombstones(spark, index_dir)
-    if isinstance(dead, TombstoneFrame):
-        dead_by_shard = dead.df.select(
+    dead_is_frame = isinstance(dead, TombstoneFrame)
+    allow_is_frame = isinstance(allow, TombstoneFrame)  # incl. AllowFrame
+    if dead_is_frame or allow_is_frame:
+        # DataFrame-backed sets: union (is_dead flag), shard + explode to
+        # every query group, cogroup — same shape as batch.py's grid
+        sides = []
+        if dead_is_frame:
+            sides.append(
+                dead.df.select("doc_id", F.lit(True).alias("is_dead"))
+            )
+        if allow_is_frame:
+            sides.append(
+                allow.df.select("doc_id", F.lit(False).alias("is_dead"))
+            )
+        right_rows = sides[0] if len(sides) == 1 else sides[0].unionByName(
+            sides[1]
+        )
+        right_by_shard = right_rows.select(
             (F.col("doc_id") / F.lit(shard_range)).cast("long").alias("shard"),
             "doc_id",
+            "is_dead",
         ).withColumn(
             "qgroup",
             F.explode(F.lit(list(range(n_groups))).cast("array<int>")),
         )
+        closure_dead = frozenset() if dead_is_frame else dead
+        closure_allow = None if allow_is_frame else allow
+        has_dead_frame, has_allow_frame = dead_is_frame, allow_is_frame
 
         def run_cg(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
             if not len(left):
@@ -510,20 +566,30 @@ def phrase_topk_batch(
                         "score": pd.Series(dtype="float64"),
                     }
                 )
-            return shard_batch(
-                left, frozenset(int(x) for x in right["doc_id"])
-            )
+            if has_dead_frame:
+                dead_local = frozenset(
+                    int(x) for x in right.loc[right["is_dead"], "doc_id"]
+                )
+            else:
+                dead_local = closure_dead
+            if has_allow_frame:
+                allow_local = frozenset(
+                    int(x) for x in right.loc[~right["is_dead"], "doc_id"]
+                )
+            else:
+                allow_local = closure_allow
+            return shard_batch(left, dead_local, allow_local)
 
         candidates = (
             blocks.groupBy("qgroup", "shard")
-            .cogroup(dead_by_shard.groupBy("qgroup", "shard"))
+            .cogroup(right_by_shard.groupBy("qgroup", "shard"))
             .applyInPandas(run_cg, out_schema)
         )
     else:
-        dead_b = dead
+        dead_b, allow_b = dead, allow
 
         def run(pdf: pd.DataFrame) -> pd.DataFrame:
-            return shard_batch(pdf, dead_b)
+            return shard_batch(pdf, dead_b, allow_b)
 
         candidates = blocks.groupBy("qgroup", "shard").applyInPandas(
             run, out_schema

@@ -736,3 +736,43 @@ def test_job_session_staleness_and_reopen(spark, tmp_path):
         assert len(js.topk("stalefour", k=5).collect()) == 1
     finally:
         js.close()
+
+
+def test_swap_dir_atomic_exchange(tmp_path):
+    """On exchange-capable filesystems _swap_dir commits via ONE atomic
+    renameat2(RENAME_EXCHANGE): dest is never absent, so a concurrent
+    reader's _recover_swap can never roll back a live swap. Also pins the
+    recover race-tolerance: a loser's os.replace OSError is swallowed."""
+    from solr_indexing_spark.ingest import (
+        _exchange_dirs,
+        _recover_swap,
+        _swap_dir,
+    )
+
+    a, b = str(tmp_path / "dest"), str(tmp_path / "staged")
+    os.makedirs(a)
+    os.makedirs(b)
+    open(f"{a}/x", "w").write("old")
+    open(f"{b}/x", "w").write("new")
+    assert _exchange_dirs(a, b) is True  # Linux tmp fs supports it
+    # exchange swapped contents; swap back via the full protocol
+    _swap_dir(a, b)  # b now holds "old" staged → dest... reset cleanly
+    # rebuild a clean scenario
+    for d in (a, b):
+        if os.path.exists(d):
+            import shutil
+
+            shutil.rmtree(d)
+    os.makedirs(a)
+    os.makedirs(b)
+    open(f"{a}/x", "w").write("old")
+    open(f"{b}/x", "w").write("new")
+    _swap_dir(b, a)
+    assert open(f"{a}/x").read() == "new"
+    assert not os.path.exists(b) and not os.path.exists(f"{a}.old")
+
+    # recover race-tolerance: dest present + .old present → no-op; and a
+    # vanished .old mid-recover must not raise
+    os.makedirs(f"{a}.old")
+    _recover_swap(a)
+    assert open(f"{a}/x").read() == "new"

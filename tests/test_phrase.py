@@ -298,3 +298,56 @@ def test_phrase_topk_segments_chain(spark, tmp_path_factory):
     build_index(spark, pages, np_base, num_buckets=4)
     with _pytest.raises(ValueError, match="store_positions"):
         phrase_topk_segments(spark, [np_base], "alpha beta", k=5)
+
+
+def test_phrase_filtered_allow(spark, pos_index):
+    """fq composes with phrase queries (Solr applies filter queries to
+    every main-query type): phrase_topk(allow=...) must equal the full
+    phrase ranking restricted to the allow set — on the closure
+    (frozenset) path AND the DataFrame-backed AllowFrame (cogrouped)
+    path, batch included."""
+    from solr_indexing_spark.query.bmw import AllowFrame
+    from solr_indexing_spark.query.phrase import phrase_topk_batch
+
+    idx, pdf = pos_index
+    # pick a phrase with several hits so the filter actually excludes some
+    phrase, full = None, []
+    for doc_i in (0, 7, 17, 123, 200):
+        cand = _real_phrase(pdf, doc_i, n=2)
+        rows = phrase_topk(spark, idx, cand, k=300).collect()
+        if len(rows) >= 3:
+            phrase, full = cand, rows
+            break
+    assert phrase is not None, "no multi-hit 2-term phrase in fixture"
+
+    allow = frozenset(r["doc_id"] for r in full[1::2]) | {10**9}
+    want = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in full
+        if r["doc_id"] in allow
+    ][:10]
+    got = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in phrase_topk(spark, idx, phrase, k=10, allow=allow).collect()
+    ]
+    assert got == want and got
+
+    af = AllowFrame(
+        spark.createDataFrame(
+            [(int(d),) for d in sorted(allow)], "doc_id long"
+        )
+    )
+    got_f = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in phrase_topk(spark, idx, phrase, k=10, allow=af).collect()
+    ]
+    assert got_f == want
+
+    for a in (allow, af):
+        got_b = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in phrase_topk_batch(
+                spark, idx, {0: phrase}, k=10, allow=a
+            ).collect()
+        ]
+        assert got_b == want
