@@ -359,7 +359,11 @@ def phrase_topk_batch(
     semantics). query_id is long when every id is an int, else string.
     ``allow``: optional fq doc set applied to every phrase in the batch.
     """
-    from .batch import BATCH_MIN_SHARD_RANGE, filter_terms
+    from .batch import (
+        BATCH_MIN_SHARD_RANGE,
+        WORK_PER_QUERY_SHARD,
+        filter_terms,
+    )
     from .bmw import TombstoneFrame, make_allow
 
     allow = make_allow(spark, allow)
@@ -376,11 +380,6 @@ def phrase_topk_batch(
     if span <= 0:
         span = max(int(man.get("n_docs", 0)), 1)
     par = max(spark.sparkContext.defaultParallelism, 1)
-    if shard_range is None:
-        want = -(-span // (2 * par))
-        shard_range = BATCH_MIN_SHARD_RANGE
-        while shard_range < want:
-            shard_range <<= 1
 
     int_ids = all(isinstance(q, int) for q in phrases)
     qid_type = T.LongType() if int_ids else T.StringType()
@@ -437,6 +436,25 @@ def phrase_topk_batch(
         return empty
     live_terms = sorted({t for uniq, _ in per_q.values() for t in uniq})
     buckets = sorted({_term_bucket_py(t, num_buckets) for t in live_terms})
+
+    # work-based grid sizing, same policy as batch.py: subdivide the doc
+    # range in proportion to the batch's MEASURED work (Σ df of each
+    # phrase's terms, known from the dictionary rows just collected), not
+    # the raw doc span — a phrase touching 5k postings wants one shard,
+    # one touching 10^8 wants many. Same WORK_PER_QUERY_SHARD constant:
+    # phrase kernels do more per-posting work (positional decode +
+    # adjacency), so if anything the fixed setup amortizes sooner.
+    if shard_range is None:
+        df_of = {r["term"]: int(r["df"]) for r in dict_rows}
+        w_avg = (
+            sum(df_of[t] for uniq, _ in per_q.values() for t in uniq)
+            / len(per_q)
+        )
+        n_target = max(min(int(w_avg // WORK_PER_QUERY_SHARD), 2 * par), 1)
+        want = -(-span // n_target)
+        shard_range = BATCH_MIN_SHARD_RANGE
+        while shard_range < want:
+            shard_range <<= 1
 
     n_shards = max(-(-span // shard_range), 1)
     n_groups = max(min(-(-2 * par // n_shards), len(per_q)), 1)
