@@ -225,22 +225,15 @@ def main() -> None:
             qlines = [ln.strip() for ln in fh if ln.strip()]
         queries = {i: q for i, q in enumerate(qlines)}
         if args.phrase and seg_dirs is not None:
-            # batched phrase over a chain: one job per phrase via the
-            # chain path (the batch grid over chains is future work)
-            from functools import reduce
+            # batched phrase over a chain: ONE job on the same
+            # (query-group × doc-range-shard) grid, chain state combined
+            from solr_indexing_spark.query.phrase import (
+                phrase_topk_batch_segments,
+            )
 
-            from pyspark.sql import functions as F
-
-            from solr_indexing_spark.query.phrase import phrase_topk_segments
-
-            parts = [
-                phrase_topk_segments(
-                    spark, seg_dirs, q, k=args.k, allow=allow
-                )
-                .withColumn("query_id", F.lit(i))
-                for i, q in queries.items()
-            ]
-            result = reduce(lambda a, b: a.unionByName(b), parts)
+            result = phrase_topk_batch_segments(
+                spark, seg_dirs, queries, k=args.k, allow=allow
+            )
         elif args.phrase:
             from solr_indexing_spark.query.phrase import phrase_topk_batch
 

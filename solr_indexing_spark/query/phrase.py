@@ -359,14 +359,7 @@ def phrase_topk_batch(
     semantics). query_id is long when every id is an int, else string.
     ``allow``: optional fq doc set applied to every phrase in the batch.
     """
-    from .batch import (
-        BATCH_MIN_SHARD_RANGE,
-        WORK_PER_QUERY_SHARD,
-        filter_terms,
-    )
-    from .bmw import TombstoneFrame, make_allow
-
-    allow = make_allow(spark, allow)
+    from .bmw import make_allow
 
     man = read_manifest(index_dir)
     if not man.get("positions"):
@@ -374,6 +367,66 @@ def phrase_topk_batch(
             f"segment {index_dir} was built without positions "
             "(build_index(store_positions=True))"
         )
+    return _phrase_batch_impl(
+        spark,
+        man,
+        spark.read.parquet(f"{index_dir}/dictionary"),
+        spark.read.parquet(f"{index_dir}/postings"),
+        phrases,
+        k,
+        shard_range,
+        dead=load_tombstones(spark, index_dir),
+        allow=make_allow(spark, allow),
+    )
+
+
+def phrase_topk_batch_segments(
+    spark: SparkSession,
+    seg_dirs: list[str],
+    phrases: dict,
+    k: int = 10,
+    shard_range: int | None = None,
+    allow=None,
+) -> DataFrame:
+    """Batched exact-phrase top-k across a segment CHAIN — P phrases in
+    ONE Spark job over base + deltas (union dictionary with df summed,
+    tombstone-corrected live stats, union positional postings, union
+    dead set), rank-identical to P independent ``phrase_topk_segments``
+    calls. The pre-merge bulk-evaluation path for positional jobs."""
+    from ..indexing.incremental import _chain_state
+    from .bmw import make_allow
+
+    mans = [read_manifest(d) for d in seg_dirs]
+    if not all(m.get("positions") for m in mans):
+        raise ValueError(
+            "phrase_topk_batch_segments requires every chain segment "
+            "built with store_positions=True"
+        )
+    man, dictionary, postings, dead = _chain_state(spark, seg_dirs, mans)
+    return _phrase_batch_impl(
+        spark, man, dictionary, postings, phrases, k, shard_range,
+        dead=dead, allow=make_allow(spark, allow),
+    )
+
+
+def _phrase_batch_impl(
+    spark: SparkSession,
+    man: dict,
+    dictionary: DataFrame,
+    postings: DataFrame,
+    phrases: dict,
+    k: int,
+    shard_range: int | None,
+    dead=frozenset(),
+    allow=None,
+) -> DataFrame:
+    from .batch import (
+        BATCH_MIN_SHARD_RANGE,
+        WORK_PER_QUERY_SHARD,
+        filter_terms,
+    )
+    from .bmw import TombstoneFrame
+
     num_buckets = man["num_buckets"]
     n_docs, avgdl = man["n_docs"], man["avgdl"]
     span = int(man.get("doc_id_hi", -1)) - int(man.get("doc_id_base", 0)) + 1
@@ -416,10 +469,7 @@ def phrase_topk_batch(
     all_terms = sorted({t for uniq, _ in per_q.values() for t in uniq})
     buckets = sorted({_term_bucket_py(t, num_buckets) for t in all_terms})
     d = filter_terms(
-        spark.read.parquet(f"{index_dir}/dictionary").filter(
-            F.col("bucket").isin(buckets)
-        ),
-        all_terms,
+        dictionary.filter(F.col("bucket").isin(buckets)), all_terms
     )
     dict_rows = d.collect()
     idf = {
@@ -465,10 +515,7 @@ def phrase_topk_batch(
         group_qids.setdefault(q_group[qid], []).append(qid)
 
     pruned = filter_terms(
-        spark.read.parquet(f"{index_dir}/postings").filter(
-            F.col("bucket").isin(buckets)
-        ),
-        live_terms,
+        postings.filter(F.col("bucket").isin(buckets)), live_terms
     )
     blocks = (
         pruned.select(
@@ -545,7 +592,6 @@ def phrase_topk_batch(
             }
         )
 
-    dead = load_tombstones(spark, index_dir)
     dead_is_frame = isinstance(dead, TombstoneFrame)
     allow_is_frame = isinstance(allow, TombstoneFrame)  # incl. AllowFrame
     if dead_is_frame or allow_is_frame:

@@ -351,3 +351,76 @@ def test_phrase_filtered_allow(spark, pos_index):
             ).collect()
         ]
         assert got_b == want
+
+
+def test_phrase_batch_segments_matches_per_query(spark, tmp_path_factory):
+    """phrase_topk_batch_segments == P independent phrase_topk_segments
+    calls over a base+delta chain with tombstones — the ONE-job chain
+    grid must be rank-identical to the per-phrase chain path, fq
+    included."""
+    from solr_indexing_spark.indexing.build import build_index
+    from solr_indexing_spark.indexing.incremental import reindex_changed
+    from solr_indexing_spark.query.phrase import (
+        phrase_topk_batch_segments,
+        phrase_topk_segments,
+    )
+
+    root = tmp_path_factory.mktemp("phrase_chain_batch")
+    pdf = gen_pages(200, seed=29)
+    write_pandas_pages(pdf, str(root / "p.parquet"))
+    pages = spark.read.parquet(str(root / "p.parquet"))
+    base = str(root / "seg0")
+    build_index(spark, pages, base, num_buckets=4, store_positions=True)
+    upd = pdf.iloc[[5]].copy().reset_index(drop=True)
+    upd["text"] = ["chainbatch alpha beta gamma chainbatch"]
+    write_pandas_pages(upd, str(root / "u.parquet"))
+    delta = str(root / "seg1")
+    reindex_changed(
+        spark, base, spark.read.parquet(str(root / "u.parquet")), delta
+    )
+    chain = [base, delta]
+
+    phrases = {
+        0: _real_phrase(pdf, 0),
+        1: "alpha beta gamma",      # delta-only
+        2: _real_phrase(pdf, 5),    # superseded doc's old phrase
+        3: _real_phrase(pdf, 17, n=2),
+        4: "zzqqmissing term",
+    }
+    got = {}
+    for r in phrase_topk_batch_segments(spark, chain, phrases, k=10).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["doc_id"], round(r["score"], 9))
+        )
+    for qid, ph in phrases.items():
+        want = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in phrase_topk_segments(spark, chain, ph, k=10).collect()
+        ]
+        assert got.get(qid, []) == want, (qid, ph)
+    assert len(got.get(1, [])) == 1  # the delta doc serves
+
+    # fq over the chain batch: even doc_ids only
+    from solr_indexing_spark.indexing.build import read_docs
+
+    even = frozenset(
+        r["doc_id"]
+        for d in chain
+        for r in read_docs(spark, d).select("doc_id").collect()
+        if r["doc_id"] % 2 == 0
+    )
+    got_f = {}
+    for r in phrase_topk_batch_segments(
+        spark, chain, phrases, k=10, allow=even
+    ).collect():
+        got_f.setdefault(r["query_id"], []).append(
+            (r["doc_id"], round(r["score"], 9))
+        )
+    for qid, ph in phrases.items():
+        want = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in phrase_topk_segments(
+                spark, chain, ph, k=10, allow=even
+            ).collect()
+        ]
+        assert got_f.get(qid, []) == want, (qid, ph)
