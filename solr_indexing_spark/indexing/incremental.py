@@ -308,6 +308,54 @@ class SegmentsSession:
             self.spark, self.seg_dirs, hits, query, **kw
         )
 
+    def _require_positions(self) -> None:
+        if not all(m.get("positions") for m in self.mans):
+            raise ValueError(
+                "phrase queries require every chain segment built with "
+                "store_positions=True"
+            )
+
+    def phrase(
+        self,
+        phrase: str,
+        k: int = 10,
+        shard_range: int | None = None,
+        allow=None,
+    ) -> DataFrame:
+        """Exact-phrase top-k over the chain, warm: reuses the session's
+        combined manifest, persisted union dictionary, union postings and
+        precomputed dead set (one-shot ``phrase_topk_segments`` rebuilds
+        all four per call)."""
+        from ..query.bmw import make_allow
+        from ..query.phrase import _phrase_impl
+
+        self._require_positions()
+        return _phrase_impl(
+            self.spark, self.man, self.dictionary, self.postings, phrase,
+            k, shard_range, dead=self.dead,
+            allow=make_allow(self.spark, allow),
+        )
+
+    def phrase_batch(
+        self,
+        phrases: dict,
+        k: int = 10,
+        shard_range: int | None = None,
+        allow=None,
+    ) -> DataFrame:
+        """P phrases in ONE job over the chain (the
+        ``phrase_topk_batch_segments`` grid), sharing the session's
+        cached chain state."""
+        from ..query.bmw import make_allow
+        from ..query.phrase import _phrase_batch_impl
+
+        self._require_positions()
+        return _phrase_batch_impl(
+            self.spark, self.man, self.dictionary, self.postings, phrases,
+            k, shard_range, dead=self.dead,
+            allow=make_allow(self.spark, allow),
+        )
+
     def close(self) -> None:
         from ..query.bmw import BroadcastDeadSet
 

@@ -634,6 +634,15 @@ class JobSession:
         (query/highlight.py)."""
         return self.segments.highlight(hits, query, **kw)
 
+    def phrase(self, phrase: str, k: int = 10, allow=None) -> DataFrame:
+        """Exact-phrase top-k over the variant's live chain (positional
+        job required)."""
+        return self.segments.phrase(phrase, k=k, allow=allow)
+
+    def phrase_batch(self, phrases: dict, k: int = 10, allow=None) -> DataFrame:
+        """P phrases in ONE job over the variant's live chain."""
+        return self.segments.phrase_batch(phrases, k=k, allow=allow)
+
     def complete(self, prefix: str, k: int = 10) -> DataFrame:
         """Weighted prefix completion over the job's completion tables
         (max weight per input across base + deltas, as

@@ -424,3 +424,68 @@ def test_phrase_batch_segments_matches_per_query(spark, tmp_path_factory):
             ).collect()
         ]
         assert got_f.get(qid, []) == want, (qid, ph)
+
+
+def test_segments_session_phrase(spark, tmp_path_factory):
+    """SegmentsSession.phrase / .phrase_batch — warm chain phrase serving
+    must equal the one-shot chain path; a non-positional chain errors."""
+    import pytest as _pytest
+
+    from solr_indexing_spark.indexing.build import build_index
+    from solr_indexing_spark.indexing.incremental import (
+        SegmentsSession,
+        reindex_changed,
+    )
+    from solr_indexing_spark.query.phrase import phrase_topk_segments
+
+    root = tmp_path_factory.mktemp("sess_phrase")
+    pdf = gen_pages(150, seed=31)
+    write_pandas_pages(pdf, str(root / "p.parquet"))
+    pages = spark.read.parquet(str(root / "p.parquet"))
+    base = str(root / "seg0")
+    build_index(spark, pages, base, num_buckets=4, store_positions=True)
+    upd = pdf.iloc[[3]].copy().reset_index(drop=True)
+    upd["text"] = ["sessphrase delta doc body sessphrase"]
+    write_pandas_pages(upd, str(root / "u.parquet"))
+    delta = str(root / "seg1")
+    reindex_changed(
+        spark, base, spark.read.parquet(str(root / "u.parquet")), delta
+    )
+    chain = [base, delta]
+
+    sess = SegmentsSession(spark, chain)
+    try:
+        for ph in (_real_phrase(pdf, 0), "sessphrase delta",
+                   _real_phrase(pdf, 3)):
+            want = [
+                (r["doc_id"], round(r["score"], 9))
+                for r in phrase_topk_segments(spark, chain, ph, k=10).collect()
+            ]
+            got = [
+                (r["doc_id"], round(r["score"], 9))
+                for r in sess.phrase(ph, k=10).collect()
+            ]
+            assert got == want, ph
+        phs = {0: _real_phrase(pdf, 0), 1: "sessphrase delta"}
+        got_b = {}
+        for r in sess.phrase_batch(phs, k=10).collect():
+            got_b.setdefault(r["query_id"], []).append(
+                (r["doc_id"], round(r["score"], 9))
+            )
+        for qid, ph in phs.items():
+            want = [
+                (r["doc_id"], round(r["score"], 9))
+                for r in phrase_topk_segments(spark, chain, ph, k=10).collect()
+            ]
+            assert got_b.get(qid, []) == want, (qid, ph)
+    finally:
+        sess.close()
+
+    np_base = str(root / "np")
+    build_index(spark, pages, np_base, num_buckets=4)
+    sess_np = SegmentsSession(spark, [np_base])
+    try:
+        with _pytest.raises(ValueError, match="store_positions"):
+            sess_np.phrase("alpha beta")
+    finally:
+        sess_np.close()
