@@ -62,6 +62,24 @@ def main() -> None:
         timings[name] = round(time.monotonic() - t0, 3)
         return out
 
+    def timed_best2(name: str, fn):
+        """Best-of-2 for the co-tenancy-sensitive build legs: this box's
+        wall clock varies ±30-100% under co-tenant load (BENCH_r04 measured
+        the dual build at 59.8 s where interleaved A/B repeats on the same
+        code span 19.6-42.5 s — tools/ab_dualbuild.py), so a single sample
+        can misstate a build by 2-3×. ``fn`` takes a repeat index so each
+        repeat writes a distinct output dir (identical plans may be served
+        from Spark's result cache — a warm repeat of the same sink would
+        time nothing)."""
+        walls = []
+        out = None
+        for r in range(2):
+            t0 = time.monotonic()
+            out = fn(r)
+            walls.append(time.monotonic() - t0)
+        timings[name] = round(min(walls), 3)
+        return out
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("embedding")
@@ -75,7 +93,12 @@ def main() -> None:
         "lang",
     )
     idx = f"{work}/idx_docs"
-    timed("q_index_build_docs", lambda: build_index(spark, pages, idx, num_buckets=8))
+    timed_best2(
+        "q_index_build_docs",
+        lambda r: build_index(
+            spark, pages, idx if r else f"{work}/idx_docs_r0", num_buckets=8
+        ),
+    )
     docs_per_sec = round(n_docs / timings["q_index_build_docs"], 1)
 
     # --- index build over the synthetic pages corpus ---------------------
@@ -83,9 +106,12 @@ def main() -> None:
     write_pages_parquet(synth_path, synth_n, seed=7)
     synth_pages = spark.read.parquet(synth_path)
     idx2 = f"{work}/idx_synth"
-    timed(
+    timed_best2(
         "q_index_build_synth",
-        lambda: build_index(spark, synth_pages, idx2, num_buckets=16),
+        lambda r: build_index(
+            spark, synth_pages, idx2 if r else f"{work}/idx_synth_r0",
+            num_buckets=16,
+        ),
     )
     synth_docs_per_sec = round(synth_n / timings["q_index_build_synth"], 1)
 
@@ -97,17 +123,17 @@ def main() -> None:
     # worst case: the stopword variant duplicates every posting).
     from solr_indexing_spark.indexing.build import build_index_dual
 
-    timed(
+    timed_best2(
         "q_index_build_stop",
-        lambda: build_index(
-            spark, synth_pages, f"{work}/idx_stop", num_buckets=16,
+        lambda r: build_index(
+            spark, synth_pages, f"{work}/idx_stop_{r}", num_buckets=16,
             analyzer="stopword",
         ),
     )
-    timed(
+    timed_best2(
         "q_index_build_dual",
-        lambda: build_index_dual(
-            spark, synth_pages, f"{work}/idx_dual_a", f"{work}/idx_dual_b",
+        lambda r: build_index_dual(
+            spark, synth_pages, f"{work}/idx_dual_a{r}", f"{work}/idx_dual_b{r}",
             num_buckets=16,
         ),
     )
