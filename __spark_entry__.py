@@ -384,11 +384,32 @@ def _ft_bm25_multi(spark, sf_dir):
         )
         .withColumn("mode", F.lit("mlt"))
     )
+    # SORTED mode (mode='sorted'): sorted_topk (query/sorting.py) — Solr
+    # sort=lang desc, start=3, rows=5 over query 1's match set; score is
+    # the GLOBAL rank (start + page position) so the value hash pins the
+    # ordering and the pagination offset, not just membership.
+    from solr_indexing_spark.query.sorting import sorted_topk
+
+    page = sorted_topk(
+        spark, idx, FT_QUERY, sort_cols="lang", k=5, start=3,
+        ascending=False,
+    )
+    w_rank = Window.orderBy(F.desc_nulls_last("lang"), F.asc("doc_id"))
+    srt = (
+        page.withColumn("rn", F.row_number().over(w_rank) + F.lit(3))
+        .select(
+            F.lit(1).alias("query_id"),
+            "doc_id",
+            F.col("rn").cast("double").alias("score"),
+        )
+        .withColumn("mode", F.lit("sorted"))
+    )
     return (
         out.unionByName(boosted)
         .unionByName(batch)
         .unionByName(filtered)
         .unionByName(mlt)
+        .unionByName(srt)
         .select("query_id", "mode", "doc_id", "score")
     )
 
@@ -2084,6 +2105,23 @@ select 1 as query_id, 'mlt' as mode, doc_id, score from (
   select doc_id, round(sum(w), 4) as score from w where doc_id <> 3
   group by doc_id order by sum(w) desc, doc_id asc limit 5
 )
+"""
+    # sorted mode: Solr sort=lang desc with start=3, rows=5 — the OR
+    # match set of FT_QUERY ordered by a stored field (BM25 plays no
+    # part), deep-paged; score carries the GLOBAL rank so the hash pins
+    # both membership and ordering — mirrors query/sorting.py sorted_topk
+    multi += f"""
+union all
+select 1 as query_id, 'sorted' as mode, doc_id, cast(rn as double) as score
+from (
+  with toks as ({_TOKS})
+  select d.doc_id,
+         row_number() over (order by d.lang desc nulls last, d.doc_id asc)
+           as rn
+  from documents d
+  where d.doc_id in (
+    select distinct doc_id from toks where term in ({ftq_terms}))
+) where rn > 3 and rn <= 8
 """
     simhash_votes = ", ".join(
         f"sum(case when (h & {1 << b}) != 0 then tf else -tf end) as v{b}"

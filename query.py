@@ -88,6 +88,63 @@ def serve(spark, args) -> None:
                     sess = job_sess.segments
                     docs.unpersist()
                     docs = _docs_of(job_sess.seg_dirs)
+            if req.startswith("facet "):
+                _, col, q = req.split(" ", 2)
+                vals = [
+                    {"facet": r["facet"], "n": r["n"]}
+                    for r in sess.facet(q, col=col, max_values=args.k)
+                    .collect()
+                ]
+                print(json.dumps({"facet": col, "query": q, "counts": vals}),
+                      flush=True)
+                continue
+            if req.startswith("count "):
+                q = req[len("count "):]
+                print(json.dumps({"query": q, "numFound": sess.count(q)}),
+                      flush=True)
+                continue
+            if req.startswith("mlt "):
+                did = int(req[len("mlt "):])
+                rows = (
+                    sess.mlt(did, k=args.k)
+                    .join(docs, "doc_id")
+                    .orderBy(F.desc("score"), F.asc("doc_id"))
+                    .collect()
+                )
+                hits = [
+                    {"doc_id": r["doc_id"], "score": r["score"],
+                     "url": r["url"]}
+                    for r in rows
+                ]
+                print(json.dumps({"mlt": did, "hits": hits}), flush=True)
+                continue
+            if req.startswith("sort "):
+                # sort <field[:asc|desc]> <start> <query terms...>
+                _, spec, start_s, q = req.split(" ", 3)
+                col, _, direction = spec.partition(":")
+                from solr_indexing_spark.query.sorting import _order_cols
+
+                rows = (
+                    sess.sorted_topk(
+                        q, sort_cols=col, k=args.k, start=int(start_s),
+                        ascending=direction != "desc",
+                    )
+                    # drop the sort col from the url side: sorting BY url
+                    # would otherwise duplicate the column in the join
+                    .join(docs.drop(col), "doc_id")
+                    # the url join does not preserve order — re-establish
+                    # the page's ordering over the ≤k joined rows
+                    .orderBy(*_order_cols(col, direction != "desc"))
+                    .collect()
+                )
+                hits = [
+                    {"doc_id": r["doc_id"], col: r[col], "url": r["url"]}
+                    for r in rows
+                ]
+                print(json.dumps(
+                    {"sort": spec, "start": int(start_s), "query": q,
+                     "hits": hits}), flush=True)
+                continue
             if req.startswith("complete "):
                 prefix = req[len("complete "):]
                 if job_sess is None:
@@ -143,6 +200,24 @@ def main() -> None:
                     help="add a highlighted best-window snippet per hit "
                          "(query/highlight.py — the Solr highlighter "
                          "analog)")
+    ap.add_argument("--sort", default=None, metavar="FIELD[:asc|desc]",
+                    help="return the match set ordered by a STORED field "
+                         "instead of BM25 (Solr sort= — the reference's "
+                         "citation/date sort keys exist for this; "
+                         "query/sorting.py). Composes with --start/--k "
+                         "for deep paging and --filter for fq.")
+    ap.add_argument("--start", type=int, default=0,
+                    help="pagination offset into the sorted ordering "
+                         "(Solr start=; only with --sort)")
+    ap.add_argument("--facet", default=None, metavar="COL",
+                    help="print (value, count) over the query's match set "
+                         "for a stored metadata column (Solr facet.field; "
+                         "query/facet.py)")
+    ap.add_argument("--count", action="store_true",
+                    help="print numFound (live match count) only")
+    ap.add_argument("--mlt", type=int, default=None, metavar="DOC_ID",
+                    help="More-Like-This: top-k docs similar to DOC_ID "
+                         "(no --query; query/mlt.py)")
     ap.add_argument("--mode", choices=["bmw", "brute"], default="bmw")
     ap.add_argument("--analyzer", choices=["default", "stopword"],
                     default=None,
@@ -150,8 +225,24 @@ def main() -> None:
                          "reference's IndexName vs IndexNameStopword)")
     ap.add_argument("--cores", default=None)
     args = ap.parse_args()
-    if sum([bool(args.query), args.serve, bool(args.batch)]) != 1:
-        ap.error("exactly one of --query / --serve / --batch is required")
+    if sum(
+        [bool(args.query), args.serve, bool(args.batch),
+         args.mlt is not None]
+    ) != 1:
+        ap.error(
+            "exactly one of --query / --serve / --batch / --mlt is required"
+        )
+    if (args.sort or args.facet or args.count) and not args.query:
+        ap.error("--sort/--facet/--count need --query")
+    if (args.sort or args.facet or args.count or args.mlt is not None) and (
+        args.phrase or args.snippets or args.mode != "bmw"
+    ):
+        ap.error(
+            "--sort/--facet/--count/--mlt run the match-set/BMW path "
+            "(no --phrase/--snippets/--mode brute)"
+        )
+    if args.start and not args.sort:
+        ap.error("--start only applies to --sort pagination")
     if (args.serve or args.batch) and args.mode != "bmw":
         ap.error("--serve/--batch run the BMW path; --mode brute "
                  "is single-query only")
@@ -219,6 +310,73 @@ def main() -> None:
                 read_docs(spark, d), allowMissingColumns=True
             )
         allow = fq_docs.filter(F.expr(args.filter_expr)).select("doc_id")
+
+    if args.mlt is not None or args.facet or args.count or args.sort:
+        # match-set serving surface (facets / numFound / sort= / MLT):
+        # one-shot over the segment or the job's live chain, via the same
+        # SegmentsSession code path a warm server uses
+        from pyspark.sql import functions as F
+
+        from solr_indexing_spark.indexing.build import read_docs
+        from solr_indexing_spark.indexing.incremental import SegmentsSession
+
+        sources = seg_dirs if seg_dirs is not None else [args.index]
+        sess = SegmentsSession(spark, sources, cache_dictionary=False)
+        try:
+            if args.count:
+                print(json.dumps({
+                    "query": args.query,
+                    "numFound": sess.count(args.query, allow=allow),
+                }))
+                return
+            if args.facet:
+                for r in sess.facet(
+                    args.query, col=args.facet, allow=allow,
+                    max_values=args.k,
+                ).collect():
+                    print(json.dumps({"facet": r["facet"], "n": r["n"]}))
+                return
+            urls = read_docs(spark, sources[0]).select("doc_id", "url")
+            for d in sources[1:]:
+                urls = urls.unionByName(
+                    read_docs(spark, d).select("doc_id", "url")
+                )
+            if args.mlt is not None:
+                rows = (
+                    sess.mlt(args.mlt, k=args.k)
+                    .join(urls, "doc_id")
+                    .orderBy(F.desc("score"), F.asc("doc_id"))
+                    .collect()
+                )
+                for r in rows:
+                    print(json.dumps({
+                        "doc_id": r["doc_id"], "score": r["score"],
+                        "url": r["url"],
+                    }))
+                return
+            col, _, direction = args.sort.partition(":")
+            from solr_indexing_spark.query.sorting import _order_cols
+
+            rows = (
+                sess.sorted_topk(
+                    args.query, sort_cols=col, k=args.k, start=args.start,
+                    ascending=direction != "desc", allow=allow,
+                )
+                # drop the sort col from the url side: sorting BY url would
+                # otherwise duplicate the column in the join
+                .join(urls.drop(col), "doc_id")
+                # the url join does not preserve order — re-establish the
+                # page's ordering over the ≤k joined rows
+                .orderBy(*_order_cols(col, direction != "desc"))
+                .collect()
+            )
+            for r in rows:
+                print(json.dumps({
+                    "doc_id": r["doc_id"], col: r[col], "url": r["url"],
+                }))
+            return
+        finally:
+            sess.close()
 
     if args.batch:
         with open(args.batch) as fh:

@@ -356,6 +356,119 @@ class SegmentsSession:
             allow=make_allow(self.spark, allow),
         )
 
+    # ---- the Solr response surface beyond the ranked list (facets,
+    # numFound, sort=, MLT): all reuse the session's per-generation
+    # postings plan, union dictionary and precomputed dead set — a results
+    # page's facet/count/sort calls never re-read tombstone parquet or
+    # per-segment stats (pinned by tests/test_serving_session.py) --------
+
+    def _docs_meta(self, cols: list[str]):
+        """Union (doc_id, *cols) over the chain's docs tables (shared-docs
+        pointers resolved). Plan-only — cheap to rebuild per distinct
+        column set; memoized so repeated facet/sort calls reuse one plan."""
+        from ..query.facet import docs_meta_union
+
+        key = tuple(cols)
+        cache = getattr(self, "_docs_meta_cache", None)
+        if cache is None:
+            cache = self._docs_meta_cache = {}
+        if key not in cache:
+            cache[key] = docs_meta_union(
+                self.spark, self.seg_dirs, self.mans, list(cols)
+            )
+        return cache[key]
+
+    def match_ids(self, query, allow=None) -> DataFrame:
+        """Distinct live doc_ids matching ANY analyzed query term (the
+        OR match set) over the chain, dead set applied from the session's
+        precomputed membership."""
+        from ..query.facet import _match_ids_impl
+
+        ids = _match_ids_impl(
+            self.spark, self.man, self.postings, query, dead=self.dead
+        )
+        if allow is not None:
+            ids = ids.join(
+                allow.select("doc_id").distinct(), "doc_id", "left_semi"
+            )
+        return ids
+
+    def facet(
+        self,
+        query,
+        col: str = "lang",
+        allow=None,
+        max_values: int | None = None,
+    ) -> DataFrame:
+        """(facet, n) counts over the live match set — Solr facet.field
+        on every results page (query/facet.py semantics)."""
+        from ..query.facet import _facet_impl
+
+        return _facet_impl(
+            self.match_ids(query, allow=allow),
+            self._docs_meta([col]),
+            col,
+            max_values,
+        )
+
+    def count(self, query, allow=None) -> int:
+        """numFound — live docs matching any analyzed query term."""
+        return self.match_ids(query, allow=allow).count()
+
+    def sorted_topk(
+        self,
+        query,
+        sort_cols="doc_id",
+        k: int = 10,
+        start: int = 0,
+        ascending=True,
+        allow=None,
+        keys: DataFrame | None = None,
+    ) -> DataFrame:
+        """Sort-by-stored-field top-k with deep paging — Solr
+        ``sort=``/``start``/``rows`` (query/sorting.py semantics), warm."""
+        from ..query.sorting import _sorted_impl
+
+        if keys is None:
+            cols = (
+                [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
+            )
+            keys = self._docs_meta(cols)
+        return _sorted_impl(
+            self.spark, self.match_ids(query), keys, sort_cols, k, start,
+            ascending, allow=allow,
+        )
+
+    def mlt(
+        self,
+        doc_id: int,
+        k: int = 10,
+        max_terms: int = 25,
+        min_df: int = 2,
+        max_df_frac: float = 0.25,
+        shard_range: int | None = None,
+    ) -> DataFrame:
+        """More-Like-This over the chain: interesting terms use the
+        session's union dictionary + combined live-doc stats; the source
+        doc joins the session's dead set for the rescoring pass."""
+        from ..query.mlt import _mlt_impl
+
+        return _mlt_impl(
+            self.spark,
+            self.man,
+            self.dictionary,
+            self.postings,
+            self._docs_meta(["text"]),
+            doc_id,
+            k=k,
+            max_terms=max_terms,
+            min_df=min_df,
+            max_df_frac=max_df_frac,
+            shard_range=shard_range,
+            dead=self.dead,
+            meta_cache=self._term_meta,
+        )
+
     def close(self) -> None:
         from ..query.bmw import BroadcastDeadSet
 

@@ -643,6 +643,24 @@ class JobSession:
         """P phrases in ONE job over the variant's live chain."""
         return self.segments.phrase_batch(phrases, k=k, allow=allow)
 
+    def facet(self, query, col: str = "lang", **kw) -> DataFrame:
+        """Facet counts over the variant's live chain (Solr facet.field;
+        query/facet.py semantics via the warm chain state)."""
+        return self.segments.facet(query, col=col, **kw)
+
+    def count(self, query, allow=None) -> int:
+        """numFound over the variant's live chain."""
+        return self.segments.count(query, allow=allow)
+
+    def sorted_topk(self, query, sort_cols="doc_id", **kw) -> DataFrame:
+        """Sort-by-stored-field serving with deep paging (Solr sort= /
+        start / rows) over the variant's live chain."""
+        return self.segments.sorted_topk(query, sort_cols=sort_cols, **kw)
+
+    def mlt(self, doc_id: int, **kw) -> DataFrame:
+        """More-Like-This over the variant's live chain."""
+        return self.segments.mlt(doc_id, **kw)
+
     def complete(self, prefix: str, k: int = 10) -> DataFrame:
         """Weighted prefix completion over the job's completion tables
         (max weight per input across base + deltas, as

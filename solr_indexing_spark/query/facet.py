@@ -48,25 +48,37 @@ def _decode_ids(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
-def matching_doc_ids(
+def _dead_anti_join(spark: SparkSession, ids: DataFrame, dead) -> DataFrame:
+    """Remove a precomputed dead set (any of the serving dead-set shapes:
+    frozenset / BroadcastDeadSet / TombstoneFrame / None) from a doc_id
+    frame — the session paths hold one of these, computed once per
+    segment generation, instead of re-reading tombstone parquet."""
+    from .bmw import BroadcastDeadSet, TombstoneFrame
+
+    if not dead:
+        return ids
+    if isinstance(dead, TombstoneFrame):
+        return ids.join(dead.df.select("doc_id"), "doc_id", "left_anti")
+    if isinstance(dead, BroadcastDeadSet):
+        rows = [(int(d),) for d in dead.to_array()]
+    else:
+        rows = [(int(d),) for d in sorted(dead)]
+    return ids.join(
+        spark.createDataFrame(rows, "doc_id long"), "doc_id", "left_anti"
+    )
+
+
+def _match_ids_impl(
     spark: SparkSession,
-    index_dir: str | list[str],
+    man: dict,
+    postings: DataFrame,
     query,
+    dead=None,
 ) -> DataFrame:
-    """Distinct live doc_ids matching ANY analyzed query term (the Lucene
-    OR match set) across a segment or chain — the input to faceting,
-    match counting, and export jobs. Lazy; one pruned postings scan."""
-    dirs = [index_dir] if isinstance(index_dir, str) else list(index_dir)
-    mans = [read_manifest(d) for d in dirs]
-    # same gate every other chain entry point enforces (_chain_state):
-    # a mixed chain would bucket-prune with dirs[0]'s num_buckets and
-    # silently drop the other segments' matches — error, don't undercount
-    if (
-        len({m["num_buckets"] for m in mans}) != 1
-        or len({m.get("analyzer", "default") for m in mans}) != 1
-    ):
-        raise ValueError("segments disagree on num_buckets/analyzer")
-    man = mans[0]
+    """Core OR-match-set assembly over an already-assembled postings plan
+    + dead set — shared by the one-shot path and the warm sessions (which
+    pass their per-generation union postings and precomputed dead set, so
+    a facet/count/sorted request never re-reads tombstone parquet)."""
     if isinstance(query, (list, tuple, set, frozenset)):
         terms = sorted({str(t).lower() for t in query})
     else:
@@ -79,17 +91,40 @@ def matching_doc_ids(
     buckets = sorted(
         {_term_bucket_py(t, man["num_buckets"]) for t in terms}
     )
-    post = spark.read.parquet(f"{dirs[0]}/postings")
-    for d in dirs[1:]:
-        post = post.unionByName(spark.read.parquet(f"{d}/postings"))
     from .batch import filter_terms
 
     ids = (
-        filter_terms(post.filter(F.col("bucket").isin(buckets)), terms)
+        filter_terms(postings.filter(F.col("bucket").isin(buckets)), terms)
         .select("first_doc_id", "n_docs", "doc_gaps")
         .mapInPandas(_decode_ids, "doc_id long")
         .distinct()
     )
+    return _dead_anti_join(spark, ids, dead)
+
+
+def matching_doc_ids(
+    spark: SparkSession,
+    index_dir: str | list[str],
+    query,
+) -> DataFrame:
+    """Distinct live doc_ids matching ANY analyzed query term (the Lucene
+    OR match set) across a segment or chain — the input to faceting,
+    match counting, sorted serving and export jobs. Lazy; one pruned
+    postings scan."""
+    dirs = [index_dir] if isinstance(index_dir, str) else list(index_dir)
+    mans = [read_manifest(d) for d in dirs]
+    # same gate every other chain entry point enforces (_chain_state):
+    # a mixed chain would bucket-prune with dirs[0]'s num_buckets and
+    # silently drop the other segments' matches — error, don't undercount
+    if (
+        len({m["num_buckets"] for m in mans}) != 1
+        or len({m.get("analyzer", "default") for m in mans}) != 1
+    ):
+        raise ValueError("segments disagree on num_buckets/analyzer")
+    post = spark.read.parquet(f"{dirs[0]}/postings")
+    for d in dirs[1:]:
+        post = post.unionByName(spark.read.parquet(f"{d}/postings"))
+    ids = _match_ids_impl(spark, mans[0], post, query, dead=None)
     for d in dirs:
         if os.path.exists(f"{d}/tombstones"):
             ids = ids.join(
@@ -98,6 +133,47 @@ def matching_doc_ids(
                 "left_anti",
             )
     return ids
+
+
+def docs_meta_union(
+    spark: SparkSession,
+    dirs: list[str],
+    mans: list[dict],
+    cols: list[str],
+) -> DataFrame:
+    """Union of the chain segments' docs tables restricted to (doc_id,
+    *cols); a segment lacking a column contributes NULLs for it (the
+    facet.missing bucket / a sort key that sorts last)."""
+
+    def _meta(d, m):
+        t = read_docs(spark, d, m)
+        sel = [F.col("doc_id")]
+        for c in cols:
+            if c in t.columns:
+                sel.append(F.col(c))
+            else:
+                sel.append(F.lit(None).cast("string").alias(c))
+        return t.select(*sel)
+
+    docs = _meta(dirs[0], mans[0])
+    for d, m in zip(dirs[1:], mans[1:]):
+        docs = docs.unionByName(_meta(d, m))
+    return docs
+
+
+def _facet_impl(
+    ids: DataFrame,
+    docs: DataFrame,
+    col: str,
+    max_values: int | None = None,
+) -> DataFrame:
+    out = (
+        ids.join(docs, "doc_id")
+        .groupBy(F.col(col).alias("facet"))
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("facet"))
+    )
+    return out.limit(max_values) if max_values else out
 
 
 def facet_counts(
@@ -120,25 +196,8 @@ def facet_counts(
             allow.select("doc_id").distinct(), "doc_id", "left_semi"
         )
     mans = [read_manifest(d) for d in dirs]
-
-    def _meta(d, m):
-        # a segment built from html-only input may lack the metadata
-        # column — its docs land in the NULL (facet.missing) bucket
-        t = read_docs(spark, d, m)
-        if col in t.columns:
-            return t.select("doc_id", col)
-        return t.select("doc_id", F.lit(None).cast("string").alias(col))
-
-    docs = _meta(dirs[0], mans[0])
-    for d, m in zip(dirs[1:], mans[1:]):
-        docs = docs.unionByName(_meta(d, m))
-    out = (
-        ids.join(docs, "doc_id")
-        .groupBy(F.col(col).alias("facet"))
-        .agg(F.count("*").alias("n"))
-        .orderBy(F.desc("n"), F.asc("facet"))
-    )
-    return out.limit(max_values) if max_values else out
+    docs = docs_meta_union(spark, dirs, mans, [col])
+    return _facet_impl(ids, docs, col, max_values)
 
 
 def match_count(

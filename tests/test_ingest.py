@@ -558,7 +558,11 @@ def test_query_cli_serve_loop(spark, tmp_path):
     out = str(tmp_path / "srvjob")
     run_ingest(spark, _packed(spark, n=15), "case_laws", out, templateid="T")
 
-    reqs = "zq3 appears\ncomplete topic 4\nqqzzoov\n"
+    reqs = (
+        "zq3 appears\ncomplete topic 4\nqqzzoov\n"
+        "count zq3 appears\nfacet lang zq3 appears\n"
+        "sort url:asc 0 zq3 appears\nmlt 0\n"
+    )
     r = subprocess.run(
         [sys.executable, "query.py", "--index", out, "--serve",
          "--k", "5", "--cores", "4"],
@@ -567,12 +571,17 @@ def test_query_cli_serve_loop(spark, tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     lines = [l for l in r.stdout.replace("\r", "\n").splitlines()
              if l.startswith("{")]
-    assert len(lines) == 3, r.stdout
-    q1, c1, q2 = (_json.loads(l) for l in lines)
+    assert len(lines) == 7, r.stdout
+    q1, c1, q2, cnt, fac, srt, mlt = (_json.loads(l) for l in lines)
     assert q1["query"] == "zq3 appears" and len(q1["hits"]) >= 1
     assert q1["hits"][0]["url"] == "S3"
     assert c1["complete"] == "topic 4" and c1["hits"]
     assert q2["hits"] == []
+    assert cnt["numFound"] >= 1
+    # composed case_laws docs carry no lang column — facet.missing bucket
+    assert fac["facet"] == "lang" and sum(c["n"] for c in fac["counts"]) >= 1
+    assert srt["hits"] and srt["hits"][0]["url"] <= srt["hits"][-1]["url"]
+    assert "error" not in mlt and mlt["mlt"] == 0
 
 
 def test_partial_after_compact_serves_new_docs(spark, tmp_path):
