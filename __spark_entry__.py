@@ -540,18 +540,41 @@ def _dd_exact_groups(spark, sf_dir):
 
 
 def _dd_lsh_pairs(spark, sf_dir):
-    """MinHash signatures → LSH band join → candidate pairs. The oracle SQL
-    recomputes the 8-perm signatures from scratch in DuckDB, so the
-    signature stage stays fully value-checked through this entry (the
-    standalone r02 ``dd_minhash_sigs`` entry was folded in here to fit the
-    driver's 50-entry cap; signatures are also asserted in
-    tests/test_dedup.py)."""
+    """MinHash signatures → LSH band join → candidate pairs, PLUS the
+    survivor-selection stage over those pairs (kind='component' rows):
+    min-id connected components via iterative neighbor-min propagation +
+    pointer doubling (dedup.connected_components — the pairs → drop-list
+    step a corpus dedup actually ships; keep=1 marks each cluster's
+    surviving doc). The oracle recomputes the 8-perm signatures from
+    scratch in DuckDB and closes the pair graph with a recursive CTE, so
+    both stages stay fully value-checked through this one entry (folded —
+    like the r02 ``dd_minhash_sigs`` fold — to fit the driver's 50-entry
+    cap; signatures and components are also asserted in tests/test_dedup
+    and tests/test_components)."""
     from solr_indexing_spark.docprep.dedup import (
+        connected_components,
         lsh_candidate_pairs,
         minhash_signatures,
     )
 
-    return lsh_candidate_pairs(minhash_signatures(_docs(spark, sf_dir)))
+    pairs = lsh_candidate_pairs(minhash_signatures(_docs(spark, sf_dir)))
+    comps = connected_components(pairs)
+    pair_rows = pairs.select(
+        F.lit("pair").alias("kind"),
+        "id_a",
+        "id_b",
+        F.lit(-1).cast("int").alias("keep"),
+    )
+    comp_rows = comps.select(
+        F.lit("component").alias("kind"),
+        F.col("id").alias("id_a"),
+        F.col("component_id").alias("id_b"),
+        F.when(F.col("id") == F.col("component_id"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("keep"),
+    )
+    return pair_rows.unionByName(comp_rows)
 
 
 def _dd_jaccard(spark, sf_dir):
@@ -2259,11 +2282,28 @@ select {_MH60.format(x="substr(text, 1, 100)")} as fingerprint,
 from documents group by 1 having count(*) > 1
 """,
         "dd_lsh_pairs": f"""
-with sigs as ({_minhash_sig_sql(id_alias="id")}),
-banded as ({band_keys})
-select distinct a.id as id_a, b.id as id_b
-from banded a join banded b
-  on a.band_key = b.band_key and a.id < b.id
+with recursive sigs as ({_minhash_sig_sql(id_alias="id")}),
+banded as ({band_keys}),
+prs as (
+  select distinct a.id as id_a, b.id as id_b
+  from banded a join banded b
+    on a.band_key = b.band_key and a.id < b.id
+),
+edges as (
+  select id_a as a, id_b as b from prs
+  union
+  select id_b as a, id_a as b from prs
+),
+reach(src, node) as (
+  select distinct a, a from edges
+  union
+  select r.src, e.b from reach r join edges e on e.a = r.node
+)
+select 'pair' as kind, id_a, id_b, -1 as keep from prs
+union all
+select 'component' as kind, src as id_a, min(node) as id_b,
+       case when src = min(node) then 1 else 0 end as keep
+from reach group by src
 """,
         "dd_jaccard": _JACCARD_CORE + """
 select c.id_a, c.id_b, c.common, sa.sz as size_a, sb.sz as size_b,

@@ -247,6 +247,20 @@ def main() -> None:
     timed("q_exact_dedup", lambda: exact_dedup(docs).count())
     timed("q_minhash_dedup", lambda: minhash_near_dups(docs, threshold=0.5).count())
     timed("q_simhash", lambda: simhash(docs).count())
+    # pairs → survivors (connected components + keep flags over the full
+    # corpus): the drop list a dedup pipeline ships
+    from solr_indexing_spark.docprep.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        near_dup_survivors,
+    )
+
+    timed(
+        "q_dedup_survivors",
+        lambda: near_dup_survivors(
+            docs, lsh_candidate_pairs(minhash_signatures(docs))
+        ).count(),
+    )
 
     # --- ANN -------------------------------------------------------------
     timed("q_ann_brute", lambda: cosine_topk_by_id(emb, 0, k=10).collect())

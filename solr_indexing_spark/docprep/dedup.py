@@ -398,3 +398,125 @@ def embedding_near_dups(
         )
         .filter(F.col("cos") >= threshold)
     )
+
+
+# --- survivor selection: connected components over the pair graph ----------
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(id, component_id) — min-id connected components over an undirected
+    pair graph: the step that turns any near-dup operator's PAIRS into the
+    per-cluster drop list a dedup pipeline actually ships.
+
+    Algorithm: alternating neighbor-min propagation + pointer doubling
+    (path compression), pure DataFrames — no GraphFrames dependency:
+
+    1. ``comp(u) = min(u, Γ(u))`` seed;
+    2. per round: ``comp'(u) = min(comp(u), min over (u,v) of comp(v))``
+       (one edge join + groupBy), then ``comp''(u) = comp(comp'(u))``
+       (one self-join) — the compression step is what makes long chains
+       converge in O(log n) rounds instead of O(diameter);
+    3. stop when ``sum(comp)`` is unchanged (component ids only ever
+       decrease, so an unchanged sum means a fixed point — one scalar agg
+       per round, no row-level diff join).
+
+    Each round ends in ``localCheckpoint`` — lineage stays O(1) deep, so
+    the plan never grows with iterations (the classic iterative-DataFrame
+    failure mode). All joins/aggs key on node id — uniform, shuffle-
+    friendly; a giant component is fine because no task ever holds a
+    whole component, only a node's direct neighbor set.
+
+    Only nodes that appear in ``pairs`` are emitted; singletons are their
+    own survivors by definition (see :func:`near_dup_survivors`).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b"))
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    comp = (
+        edges.groupBy("a")
+        .agg(F.min("b").alias("nmin"))
+        .select(
+            F.col("a").alias("id"),
+            F.least(F.col("a"), F.col("nmin")).alias("comp"),
+        )
+        .localCheckpoint()
+    )
+    prev_sum = comp.agg(F.sum("comp")).collect()[0][0]
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(
+                comp.select(F.col("id").alias("b"), "comp"), "b"
+            )
+            .groupBy("a")
+            .agg(F.min("comp").alias("ncomp"))
+        )
+        step = (
+            comp.join(nbr.withColumnRenamed("a", "id"), "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("comp"), F.coalesce("ncomp", "comp")
+                ).alias("comp"),
+            )
+        )
+        # pointer doubling: comp(u) <- comp(comp(u)); comp values are node
+        # ids, so the lookup side is the assignment itself
+        lookup = step.select(
+            F.col("id").alias("comp"), F.col("comp").alias("cc")
+        )
+        comp = (
+            step.join(lookup, "comp", "left")
+            .select("id", F.coalesce("cc", "comp").alias("comp"))
+            .localCheckpoint()
+        )
+        cur_sum = comp.agg(F.sum("comp")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    edges.unpersist()
+    return comp.withColumnRenamed("comp", "component_id")
+
+
+def near_dup_survivors(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """(doc_id, component_id, keep) over ALL of ``df`` — the shippable
+    dedup verdict: transitive closure of the near-dup pairs, min-id
+    survivor per component, singletons keep themselves. ``keep`` is int
+    (1 = survivor) so the frame drops straight into a filter or a join.
+    """
+    comps = connected_components(pairs, id_a=id_a, id_b=id_b)
+    return (
+        df.select(F.col(id_col).cast("long").alias("doc_id"))
+        .join(
+            comps.select(
+                F.col("id").alias("doc_id"), "component_id"
+            ),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce("component_id", "doc_id").alias("component_id"),
+            F.when(
+                F.coalesce("component_id", "doc_id") == F.col("doc_id"), 1
+            )
+            .otherwise(0)
+            .alias("keep"),
+        )
+    )
