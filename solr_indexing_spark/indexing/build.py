@@ -1189,11 +1189,23 @@ def _finalize_segment(
     blocks_r = spark.read.parquet(f"{out_dir}/postings")
 
     def _write_dictionary():
+        # term-RANGE partitioned + term-sorted files: every dictionary
+        # file covers a narrow contiguous term range, so parquet min/max
+        # stats prune BOTH lookup shapes — term-equality (the query path's
+        # filter_terms isin) and prefix queries (expand_prefix's
+        # startswith, Spark's StringStartsWith pushdown) — to the 1-2
+        # files that can contain the terms. A hash layout spreads the
+        # alphabet across every file and makes prefix expansion a full
+        # dictionary scan (at 10^12 docs the dictionary itself is big).
+        # The bucket column keeps its per-row stats for the bucket.isin
+        # prune; readers are layout-agnostic (schema unchanged).
         blocks_r.groupBy("term", "bucket").agg(
             F.sum("n_docs").alias("df"),
             F.sum("sum_tf").alias("cf"),
             F.count("*").alias("n_blocks"),
             F.max("block_max_tf_norm").alias("max_tf_norm"),
+        ).repartitionByRange(F.col("term")).sortWithinPartitions(
+            "term"
         ).write.mode("overwrite").parquet(f"{out_dir}/dictionary")
 
     def _write_lineage():

@@ -422,11 +422,16 @@ def merge_segments(
         f"{out_dir}/postings"
     )
     blocks_r = spark.read.parquet(f"{out_dir}/postings")
+    # term-range partitioned + sorted, like build's _write_dictionary: a
+    # merged segment's dictionary must prune prefix/equality lookups the
+    # same way a freshly built one does
     blocks_r.groupBy("term", "bucket").agg(
         F.sum("n_docs").alias("df"),
         F.sum("sum_tf").alias("cf"),
         F.count("*").alias("n_blocks"),
         F.max("block_max_tf_norm").alias("max_tf_norm"),
+    ).repartitionByRange(F.col("term")).sortWithinPartitions(
+        "term"
     ).write.mode("overwrite").parquet(f"{out_dir}/dictionary")
 
     spark.createDataFrame(

@@ -106,3 +106,57 @@ def test_verify_path_releases_docids_cache(spark, pages_df, tmp_path_factory):
     assert after <= before, (
         f"persistent RDDs grew {before} -> {after}: docids cache leaked"
     )
+
+
+def test_dictionary_term_range_layout_prunes_prefix_scans(
+    spark, pages_df, tmp_path_factory
+):
+    """The dictionary is written term-range-partitioned (AQE advisory-
+    sized) + term-sorted, so parquet min/max stats let a prefix query
+    (expand_prefix's startswith) skip the row groups outside the prefix's
+    range — without this layout a pre* query scans the whole dictionary,
+    which at 10^12 docs is itself big. The fixture shrinks the advisory
+    partition size so the tiny test dictionary splits into several range
+    files the way a corpus-scale one does at 64 MB."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    out = str(tmp_path_factory.mktemp("dict_prune") / "seg")
+    confs = {
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16kb",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1kb",
+    }
+    olds = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        build_index(spark, pages_df, out, num_buckets=8)
+    finally:
+        for k, v in olds.items():
+            spark.conf.set(k, v)
+    files = sorted(glob.glob(f"{out}/dictionary/*.parquet"))
+    assert len(files) >= 3, files
+    # files are term-sorted with disjoint contiguous ranges
+    ranges = []
+    for f in files:
+        terms = pq.read_table(f, columns=["term"])["term"].to_pylist()
+        assert terms == sorted(terms)
+        if terms:
+            ranges.append((terms[0], terms[-1]))
+    flat = [t for r in sorted(ranges) for t in r]
+    assert flat == sorted(flat), ranges
+
+    d = spark.read.parquet(f"{out}/dictionary")
+    total = d.count()
+    q = d.filter(F.col("term").startswith("zan"))
+    rows = q.collect()
+    assert rows, "fixture vocab has zan* terms"
+    qe = q._jdf.queryExecution()
+    plan_str = qe.executedPlan().toString()
+    assert "StringStartsWith(term,zan)" in plan_str, plan_str
+    scan = qe.executedPlan().collectLeaves().apply(0)
+    out_rows = int(scan.metrics().apply("numOutputRows").value())
+    # the zan* range lives in 1-2 of the range files: row-group pruning
+    # must skip most of the dictionary
+    assert out_rows < total * 0.6, (out_rows, total)
