@@ -421,24 +421,52 @@ def term_bucket_col(term_col, num_buckets: int):
     return F.pmod(F.crc32(F.col(term_col) if isinstance(term_col, str) else term_col), F.lit(num_buckets)).cast("int")
 
 
+def _verify_ext_expr(verify, html_col: str = "html"):
+    """The verification extractor column: ``extract_text(html)`` for the
+    verified rows, NULL elsewhere (NULL ``_ext`` passes the byte-identity
+    check by construction — ``_ext != text`` is null-false).
+
+    ``verify`` is the posture knob: ``True`` verifies every row (the CI /
+    small-corpus gate); a float fraction in (0, 1) verifies a
+    DETERMINISTIC url-hash sample — the 100 TB default, where paying the
+    second extraction on ~1% of rows catches a systematically broken
+    extractor build while costing ~nothing (see README 'Extraction
+    verification posture' + BENCH/BASELINE.md §4d)."""
+    frac = 1.0 if verify is True else float(verify)
+    if frac >= 1.0:
+        return extract_text(F.col(html_col))
+    pred = F.pmod(F.crc32(F.col("url")), F.lit(1_000_000)) < F.lit(
+        int(frac * 1_000_000)
+    )
+    # gate the UDF's INPUT, not just its output: Catalyst pulls Python
+    # UDFs out of conditional expressions and evaluates them on every row
+    # (ArrowEvalPython), so `when(pred, extract(html))` would still parse
+    # — and Arrow-transfer — 100% of the corpus. Nulling html first keeps
+    # the transfer + parse at ~frac of the corpus; the outer when turns
+    # the unsampled rows' "" (extract of null) back into NULL so they
+    # pass the byte-identity check by construction.
+    return F.when(pred, extract_text(F.when(pred, F.col(html_col))))
+
+
 def build_docs(
     pages: DataFrame,
     num_partitions: int | None = None,
     base_doc_id: int = 0,
-    verify_extraction: bool = False,
+    verify_extraction: bool | float = False,
     analyzer: str = "default",
 ) -> DataFrame:
     """pages → docs(doc_id, url, text, lang, doclen, toks, _pid, _wall_ms).
 
     If the ``text`` column is absent it is produced by ``extract_text(html)``;
-    if present and ``verify_extraction``, rows where extraction disagrees with
-    the provided text raise at action time (the byte-identity invariant).
+    if present and ``verify_extraction`` (True = all rows, float = url-hash
+    sample fraction), rows where extraction disagrees with the provided
+    text raise at action time (the byte-identity invariant).
     """
     cols = set(pages.columns)
     if "text" not in cols:
         pages = pages.withColumn("text", extract_text(F.col("html")))
     elif verify_extraction and "html" in cols:
-        pages = pages.withColumn("_ext", extract_text(F.col("html")))
+        pages = pages.withColumn("_ext", _verify_ext_expr(verify_extraction))
     # html is dead weight past this point — drop it BEFORE the range
     # shuffle so the shuffle moves text, not raw page bytes
     pages = pages.select(
@@ -527,7 +555,7 @@ def _docs_lineage(
 
 def _quarantine_pages(
     spark: SparkSession, pages: DataFrame, out_dir: str,
-    verify: bool = False,
+    verify: bool | float = False,
 ) -> tuple[DataFrame, int, DataFrame | None]:
     """Dead-letter quarantine (reference: per-row try/catch →
     LogErrorId file, common.ts:304-326; here an errors table). Rows that
@@ -560,7 +588,7 @@ def _quarantine_pages(
         keep = [c for c in ("url", "lang") if c in pages.columns]
         sel = [*keep, extract_text_safe(F.col("html")).alias("_sx")]
         if verify:
-            sel.append(extract_text(F.col("html")).alias("_ext"))
+            sel.append(_verify_ext_expr(verify).alias("_ext"))
         ext = pages.select(*sel).persist(StorageLevel.MEMORY_AND_DISK)
         bad = F.col("_sx.error").isNotNull() | F.col("url").isNull()
         quarantine = ext.filter(bad).select(
@@ -587,7 +615,7 @@ def build_docs_dual(
     pages: DataFrame,
     num_partitions: int | None = None,
     base_doc_id: int = 0,
-    verify_extraction: bool = False,
+    verify_extraction: bool | float = False,
 ) -> DataFrame:
     """``build_docs`` twin for the dual-analyzer build: docs carry BOTH
     ``doclen`` (default analyzer) and ``doclen_stop`` (stopword
@@ -599,7 +627,7 @@ def build_docs_dual(
     if "text" not in cols:
         pages = pages.withColumn("text", extract_text(F.col("html")))
     elif verify_extraction and "html" in cols:
-        pages = pages.withColumn("_ext", extract_text(F.col("html")))
+        pages = pages.withColumn("_ext", _verify_ext_expr(verify_extraction))
     pages = pages.select(
         *[c for c in ("url", "text", "lang", "_ext") if c in pages.columns]
     )
@@ -638,7 +666,7 @@ def build_index_dual(
     salt_range: int = 1 << 16,
     num_partitions: int | None = None,
     base_doc_id: int = 0,
-    verify_extraction: bool = False,
+    verify_extraction: bool | float = False,
     store_positions: bool = False,
     shared_docs: bool = False,
 ) -> tuple[dict, dict]:
@@ -942,7 +970,7 @@ def build_index(
     salt_range: int = 1 << 16,
     num_partitions: int | None = None,
     base_doc_id: int = 0,
-    verify_extraction: bool = False,
+    verify_extraction: bool | float = False,
     analyzer: str = "default",
     store_positions: bool = False,
 ) -> dict:

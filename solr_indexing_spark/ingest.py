@@ -147,6 +147,7 @@ def run_ingest(
     side_files_root: str | None = None,
     num_buckets: int = 16,
     base_doc_id: int = 0,
+    verify_extraction: bool | float = False,
 ) -> dict:
     """One job: packed rows in → queryable index + completion table out.
 
@@ -175,6 +176,7 @@ def run_ingest(
             spark, pages, f"{out_dir}/index", f"{out_dir}/index_stopword",
             num_buckets=num_buckets, base_doc_id=base_doc_id,
             store_positions=store_positions, shared_docs=shared_docs,
+            verify_extraction=verify_extraction,
         )
         manifests = {"index": man_a, "index_stopword": man_b}
     else:
@@ -182,6 +184,7 @@ def run_ingest(
             "index": build_index(
                 spark, pages, f"{out_dir}/index", num_buckets=num_buckets,
                 base_doc_id=base_doc_id, store_positions=store_positions,
+                verify_extraction=verify_extraction,
             )
         }
 
@@ -807,6 +810,17 @@ def main(argv: list[str] | None = None) -> None:
                          "from live documents (no --input needed)")
     ap.add_argument("--positions", action="store_true",
                     help="store positional payloads (phrase queries)")
+    ap.add_argument("--verify-extraction", nargs="?", type=float,
+                    const=1.0, default=0.0, dest="verify_extraction",
+                    metavar="FRAC",
+                    help="run the raw (non-quarantining) extractor next "
+                         "to the dead-letter-safe one in the same scan "
+                         "and fail the build on any disagreement — the "
+                         "byte-identity invariant as a build gate. With "
+                         "no value: every row (CI posture); with a "
+                         "fraction (e.g. 0.01): a deterministic url-hash "
+                         "sample — the corpus-scale default posture "
+                         "(README 'Extraction verification posture')")
     ap.add_argument("--templateid", default="")
     ap.add_argument("--sidefiles", default=None,
                     help="attachment-file root (S5 content reads)")
@@ -842,6 +856,7 @@ def main(argv: list[str] | None = None) -> None:
             store_positions=args.positions, shared_docs=args.shared_docs,
             templateid=args.templateid,
             side_files_root=args.sidefiles, num_buckets=args.buckets,
+            verify_extraction=args.verify_extraction,
         )
     print(json.dumps(job, indent=1))
     spark.stop()

@@ -137,3 +137,43 @@ def test_failed_build_releases_caches(spark, pages_df, tmp_path):
     assert after <= before, (
         f"persistent RDDs grew {before} -> {after}: cache leaked on failure"
     )
+
+
+def test_verify_extraction_sampled_posture(spark, pages_df, tmp_path):
+    """verify_extraction=FRACTION (the corpus-scale default posture):
+    verifies a DETERMINISTIC url-hash sample — a corruption on a sampled
+    url fails the build; one outside the sample is (by design) not paid
+    for. Also: fraction over a clean corpus builds fine."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from solr_indexing_spark.indexing.build import build_index
+
+    frac = 0.3
+    pages = pages_df.limit(60)
+    # which urls fall in the 30% sample (same predicate the builder uses)
+    sampled = [
+        r["url"]
+        for r in pages.filter(
+            F.pmod(F.crc32(F.col("url")), F.lit(1_000_000))
+            < int(frac * 1_000_000)
+        ).collect()
+    ]
+    assert sampled and len(sampled) < 60
+    # clean corpus, sampled verify: builds
+    man = build_index(
+        spark, pages, str(tmp_path / "idx_s0"), num_buckets=4,
+        verify_extraction=frac,
+    )
+    assert man["n_docs"] == 60
+    # corrupt one SAMPLED url: the sampled gate catches it
+    bad_in = pages.withColumn(
+        "text",
+        F.when(F.col("url") == sampled[0], F.lit("WRONG"))
+        .otherwise(F.col("text")),
+    )
+    with pytest.raises(ValueError, match="byte-identity"):
+        build_index(
+            spark, bad_in, str(tmp_path / "idx_s1"), num_buckets=4,
+            verify_extraction=frac,
+        )
