@@ -215,6 +215,17 @@ def main() -> None:
         "q_mlt",
         lambda: more_like_this(spark, idx, 3, k=10).collect(),
     )
+    from solr_indexing_spark.query.sorting import sorted_topk
+
+    # Solr sort=lang desc + deep page (start=20): match set → stored-field
+    # order, TakeOrdered offset+limit
+    timed(
+        "q_sorted_page",
+        lambda: sorted_topk(
+            spark, idx, entry.FT_QUERY, sort_cols="lang", k=10, start=20,
+            ascending=False,
+        ).collect(),
+    )
 
     # --- phrase / prefix / completion ------------------------------------
     idx_pos = f"{work}/idx_pos"

@@ -160,9 +160,15 @@ def serve(spark, args) -> None:
                 print(json.dumps({"complete": prefix, "hits": hits}),
                       flush=True)
                 continue
+            if req.endswith("*") and " " not in req:
+                # Solr multi-term rewrite: a single trailing-star token is
+                # a prefix query — expand against the session's union
+                # dictionary, score the OR expansion
+                result = sess.topk_prefix(req[:-1], k=args.k)
+            else:
+                result = sess.topk(req, k=args.k)
             rows = (
-                sess.topk(req, k=args.k)
-                .join(docs, "doc_id")
+                result.join(docs, "doc_id")
                 .orderBy(F.desc("score"), F.asc("doc_id"))
                 .collect()
             )
@@ -446,7 +452,21 @@ def main() -> None:
             }))
         return
 
-    if args.phrase and seg_dirs is not None:
+    if (
+        not args.phrase
+        and args.mode == "bmw"
+        and args.query.endswith("*")
+        and " " not in args.query
+    ):
+        # Solr multi-term rewrite: `pre*` — dictionary expansion (range-
+        # file pruned) → the expanded OR query; chains + fq compose via
+        # the session path
+        from solr_indexing_spark.indexing.incremental import SegmentsSession
+
+        sources = seg_dirs if seg_dirs is not None else [args.index]
+        sess = SegmentsSession(spark, sources, cache_dictionary=False)
+        result = sess.topk_prefix(args.query[:-1], k=args.k, allow=allow)
+    elif args.phrase and seg_dirs is not None:
         from solr_indexing_spark.query.phrase import phrase_topk_segments
 
         result = phrase_topk_segments(

@@ -439,6 +439,27 @@ class SegmentsSession:
             ascending, allow=allow,
         )
 
+    def topk_prefix(
+        self,
+        prefix: str,
+        k: int = 10,
+        max_terms: int = 64,
+        shard_range: int | None = None,
+        allow=None,
+    ) -> DataFrame:
+        """Prefix (``pre*``) BM25 top-k over the chain: expansion runs
+        against the session's persisted UNION dictionary (chain-wide df
+        ranking — a delta-only term is expandable), then the expanded OR
+        query through the standard warm path."""
+        from ..query.bmw import expand_prefix_df
+
+        terms = expand_prefix_df(self.dictionary, prefix, max_terms)
+        if not terms:
+            return self.spark.createDataFrame(
+                [], "doc_id long, score double"
+            )
+        return self.topk(terms, k=k, shard_range=shard_range, allow=allow)
+
     def mlt(
         self,
         doc_id: int,

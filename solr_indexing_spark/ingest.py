@@ -664,6 +664,10 @@ class JobSession:
         """More-Like-This over the variant's live chain."""
         return self.segments.mlt(doc_id, **kw)
 
+    def topk_prefix(self, prefix: str, **kw) -> DataFrame:
+        """Prefix (``pre*``) BM25 top-k over the variant's live chain."""
+        return self.segments.topk_prefix(prefix, **kw)
+
     def complete(self, prefix: str, k: int = 10) -> DataFrame:
         """Weighted prefix completion over the job's completion tables
         (max weight per input across base + deltas, as

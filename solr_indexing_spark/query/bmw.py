@@ -932,15 +932,17 @@ def topk_filtered(
     )
 
 
-def expand_prefix(
-    spark: SparkSession, index_dir: str, prefix: str, max_terms: int = 64
+def expand_prefix_df(
+    dictionary: DataFrame, prefix: str, max_terms: int = 64
 ) -> list[str]:
-    """Dictionary terms starting with ``prefix``, highest-df first (the
-    standard wildcard-expansion budget: cap the OR fan-out at the most
-    selective-by-mass terms). Dictionary scan only — postings untouched."""
+    """Dictionary terms starting with ``prefix``, highest-df first, over
+    an already-assembled dictionary plan (a segment's, or a session's
+    union dictionary) — the shared core of prefix expansion. The
+    startswith predicate pushes to parquet and prunes row groups because
+    dictionary files are term-range partitioned + sorted (build.py
+    ``_write_dictionary``)."""
     rows = (
-        spark.read.parquet(f"{index_dir}/dictionary")
-        .filter(F.col("term").startswith(prefix.lower()))
+        dictionary.filter(F.col("term").startswith(prefix.lower()))
         .groupBy("term")
         .agg(F.sum("df").alias("df"))
         .orderBy(F.desc("df"), F.asc("term"))
@@ -948,6 +950,17 @@ def expand_prefix(
         .collect()
     )
     return [r["term"] for r in rows]
+
+
+def expand_prefix(
+    spark: SparkSession, index_dir: str, prefix: str, max_terms: int = 64
+) -> list[str]:
+    """Dictionary terms starting with ``prefix``, highest-df first (the
+    standard wildcard-expansion budget: cap the OR fan-out at the most
+    selective-by-mass terms). Dictionary scan only — postings untouched."""
+    return expand_prefix_df(
+        spark.read.parquet(f"{index_dir}/dictionary"), prefix, max_terms
+    )
 
 
 def topk_prefix(

@@ -213,3 +213,47 @@ def test_query_cli_sort_facet_count(spark, index_dir):  # noqa: F811
     out2 = [l for l in r2.stdout.replace("\r", "\n").splitlines()
             if l.startswith("{")]
     assert _json.loads(out2[0])["numFound"] > 0
+
+
+def test_session_prefix_over_chain(spark, index_dir, oracle, tmp_path):  # noqa: F811
+    """Prefix queries on warm sessions + chains (round-5): single-segment
+    session equals the one-shot topk_prefix; a delta-only term is
+    expandable over a chain (union-dictionary expansion)."""
+    import shutil
+
+    from solr_indexing_spark.indexing.incremental import (
+        SegmentsSession,
+        reindex_changed,
+    )
+    from solr_indexing_spark.query.bmw import topk_prefix
+
+    sess = SegmentsSession(spark, [index_dir])
+    try:
+        one = topk_prefix(spark, index_dir, "zan", k=10).collect()
+        got = sess.topk_prefix("zan", k=10).collect()
+        assert [(r["doc_id"], round(r["score"], 9)) for r in got] == [
+            (r["doc_id"], round(r["score"], 9)) for r in one
+        ]
+        assert got, "zan* must hit the fixture vocab"
+    finally:
+        sess.close()
+
+    base = str(tmp_path / "base_pref")
+    shutil.copytree(index_dir, base)
+    changed = spark.createDataFrame(
+        [(oracle.urls[3],
+          "<html><body>replaced qqzuniqueterm text</body></html>")],
+        "url string, html string",
+    )
+    delta = str(tmp_path / "delta_pref")
+    reindex_changed(spark, base, changed, delta)
+    sess2 = SegmentsSession(spark, [base, delta])
+    try:
+        hits = sess2.topk_prefix("qqzuniq", k=5).collect()
+        assert len(hits) == 1 and hits[0]["doc_id"] >= 500
+        # the superseded doc stays excluded on the prefix path too
+        assert all(
+            r["doc_id"] != 3 for r in sess2.topk_prefix("zan", k=50).collect()
+        )
+    finally:
+        sess2.close()
