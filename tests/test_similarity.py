@@ -98,3 +98,52 @@ def test_ivf_nprobe_recall(emb, emb_np):
         }
         hits += len(exact & approx)
     assert hits / 30 >= 0.5
+
+
+def test_assign_cells_kernels_agree(spark, emb, emb_np):
+    """Both assignment kernels must match a driver-side numpy argmin; the
+    Arrow matmul path is the large-C shape (the when-chain's nested
+    conditional tree grows super-linearly with C and cannot be built at
+    hundreds of centroids — which is exactly why the kernel switch
+    exists)."""
+    import random
+
+    import numpy as np
+
+    from solr_indexing_spark.similarity import (
+        NEAREST_CELL_CODEGEN_MAX,
+        assign_cells,
+        train_centroids,
+    )
+
+    mat = np.asarray(emb_np, dtype=np.float64)
+    ids = list(range(len(mat)))  # fixture rows are ordered by vec_id
+
+    def expected(cents):
+        c = np.asarray(cents, dtype=np.float64)
+        d = ((mat[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        return dict(zip(ids, d.argmin(axis=1)))
+
+    cents = train_centroids(emb, n_centroids=8, iters=1)
+    want8 = expected(cents)
+    a = {
+        r["vec_id"]: r["cell"]
+        for r in assign_cells(emb, cents, method="codegen").collect()
+    }
+    b = {
+        r["vec_id"]: r["cell"]
+        for r in assign_cells(emb, cents, method="arrow").collect()
+    }
+    assert a == want8 and b == want8
+    # large synthetic centroid set: auto must route to arrow and agree
+    # with the driver-side argmin
+    rng = random.Random(3)
+    dim = mat.shape[1]
+    big = [
+        [rng.uniform(-1, 1) for _ in range(dim)]
+        for _ in range(NEAREST_CELL_CODEGEN_MAX + 6)
+    ]
+    got = {
+        r["vec_id"]: r["cell"] for r in assign_cells(emb, big).collect()
+    }
+    assert got == expected(big)
