@@ -213,8 +213,10 @@ def main() -> None:
                          "query/sorting.py). Composes with --start/--k "
                          "for deep paging and --filter for fq.")
     ap.add_argument("--start", type=int, default=0,
-                    help="pagination offset into the sorted ordering "
-                         "(Solr start=; only with --sort)")
+                    help="pagination offset (Solr start=): with --sort, "
+                         "offsets the stored-field ordering; with a plain "
+                         "--query, offsets the score ranking (fetches "
+                         "start+k, returns the page)")
     ap.add_argument("--facet", default=None, metavar="COL",
                     help="print (value, count) over the query's match set "
                          "for a stored metadata column (Solr facet.field; "
@@ -247,8 +249,10 @@ def main() -> None:
             "--sort/--facet/--count/--mlt run the match-set/BMW path "
             "(no --phrase/--snippets/--mode brute)"
         )
-    if args.start and not args.sort:
-        ap.error("--start only applies to --sort pagination")
+    if args.start and not (args.sort or args.query):
+        ap.error("--start needs --sort or --query")
+    if args.start and args.batch:
+        ap.error("--start does not apply to --batch")
     if (args.serve or args.batch) and args.mode != "bmw":
         ap.error("--serve/--batch run the BMW path; --mode brute "
                  "is single-query only")
@@ -452,6 +456,11 @@ def main() -> None:
             }))
         return
 
+    # Solr-style deep paging on score-ranked results: fetch start+k,
+    # return the page (the same cost shape as Lucene's searchAfter-less
+    # paging; keep start page-sized, as with --sort)
+    fetch_k = args.k + args.start
+
     if (
         not args.phrase
         and args.mode == "bmw"
@@ -465,35 +474,35 @@ def main() -> None:
 
         sources = seg_dirs if seg_dirs is not None else [args.index]
         sess = SegmentsSession(spark, sources, cache_dictionary=False)
-        result = sess.topk_prefix(args.query[:-1], k=args.k, allow=allow)
+        result = sess.topk_prefix(args.query[:-1], k=fetch_k, allow=allow)
     elif args.phrase and seg_dirs is not None:
         from solr_indexing_spark.query.phrase import phrase_topk_segments
 
         result = phrase_topk_segments(
-            spark, seg_dirs, args.query, k=args.k, allow=allow
+            spark, seg_dirs, args.query, k=fetch_k, allow=allow
         )
     elif seg_dirs is not None:
         from solr_indexing_spark.indexing.incremental import topk_segments
 
         result = topk_segments(
-            spark, seg_dirs, args.query, k=args.k, allow=allow
+            spark, seg_dirs, args.query, k=fetch_k, allow=allow
         )
     elif args.phrase:
         from solr_indexing_spark.query.phrase import phrase_topk
 
         result = phrase_topk(
-            spark, args.index, args.query, k=args.k, allow=allow
+            spark, args.index, args.query, k=fetch_k, allow=allow
         )
     elif allow is not None:
         from solr_indexing_spark.query.bmw import topk_filtered
 
         result = topk_filtered(
-            spark, args.index, args.query, allow, k=args.k
+            spark, args.index, args.query, allow, k=fetch_k
         )
     elif args.mode == "bmw":
         from solr_indexing_spark.query.bmw import topk
 
-        result = topk(spark, args.index, args.query, k=args.k)
+        result = topk(spark, args.index, args.query, k=fetch_k)
     else:
         from solr_indexing_spark.indexing.build import read_docs, read_manifest
         from solr_indexing_spark.query.brute import bm25_topk
@@ -501,7 +510,7 @@ def main() -> None:
         man = read_manifest(args.index)
         docs = read_docs(spark, args.index, man)
         result = bm25_topk(
-            docs, args.query, k=args.k, n_docs=man["n_docs"], avgdl=man["avgdl"]
+            docs, args.query, k=fetch_k, n_docs=man["n_docs"], avgdl=man["avgdl"]
         )
 
     from pyspark.sql import functions as F
@@ -512,9 +521,12 @@ def main() -> None:
     if args.snippets:
         from solr_indexing_spark.query.highlight import highlight_segments
 
-        rows = highlight_segments(
-            spark, doc_sources, result, args.query
-        ).collect()
+        rows = sorted(
+            highlight_segments(
+                spark, doc_sources, result, args.query
+            ).collect(),
+            key=lambda r: (-r["score"], r["doc_id"]),
+        )[args.start:]
         for r in rows:
             print(json.dumps({
                 "doc_id": r["doc_id"], "score": r["score"],
@@ -528,7 +540,7 @@ def main() -> None:
         result.join(docs, "doc_id")
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .collect()
-    )
+    )[args.start:]
     for r in rows:
         print(json.dumps({"doc_id": r["doc_id"], "score": r["score"], "url": r["url"]}))
 

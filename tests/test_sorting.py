@@ -257,3 +257,25 @@ def test_session_prefix_over_chain(spark, index_dir, oracle, tmp_path):  # noqa:
         )
     finally:
         sess2.close()
+
+
+def test_query_cli_score_paging(spark, index_dir):  # noqa: F811
+    """--start on a plain (score-ranked) query: page == full[start:start+k]."""
+    import json as _json
+    import subprocess
+    import sys
+
+    def run(extra):
+        r = subprocess.run(
+            [sys.executable, "query.py", "--index", index_dir,
+             "--query", "zanpelmek belhax", "--cores", "4"] + extra,
+            capture_output=True, text=True, timeout=600,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        return [_json.loads(l)
+                for l in r.stdout.replace("\r", "\n").splitlines()
+                if l.startswith("{")]
+
+    full = run(["--k", "6"])
+    page = run(["--k", "3", "--start", "2"])
+    assert [h["doc_id"] for h in page] == [h["doc_id"] for h in full[2:5]]
