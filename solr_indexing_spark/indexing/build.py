@@ -1227,14 +1227,27 @@ def _finalize_segment(
         # dictionary scan (at 10^12 docs the dictionary itself is big).
         # The bucket column keeps its per-row stats for the bucket.isin
         # prune; readers are layout-agnostic (schema unchanged).
-        blocks_r.groupBy("term", "bucket").agg(
+        # repartitionByRange runs a separate range-bounds SAMPLING job
+        # whose child plan would re-execute the groupBy (a second full
+        # postings scan per segment — the dual build runs two finalizes
+        # concurrently on saturated cores, so it pays this worst).
+        # Persist the aggregated rows once; both the sampling job and the
+        # write read the cache. The dictionary is (term, bucket) rows —
+        # tiny next to postings — and spills to disk if not.
+        from pyspark import StorageLevel
+
+        dic = blocks_r.groupBy("term", "bucket").agg(
             F.sum("n_docs").alias("df"),
             F.sum("sum_tf").alias("cf"),
             F.count("*").alias("n_blocks"),
             F.max("block_max_tf_norm").alias("max_tf_norm"),
-        ).repartitionByRange(F.col("term")).sortWithinPartitions(
-            "term"
-        ).write.mode("overwrite").parquet(f"{out_dir}/dictionary")
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            dic.repartitionByRange(F.col("term")).sortWithinPartitions(
+                "term"
+            ).write.mode("overwrite").parquet(f"{out_dir}/dictionary")
+        finally:
+            dic.unpersist()
 
     def _write_lineage():
         post_lineage = blocks_r.groupBy(

@@ -424,15 +424,23 @@ def merge_segments(
     blocks_r = spark.read.parquet(f"{out_dir}/postings")
     # term-range partitioned + sorted, like build's _write_dictionary: a
     # merged segment's dictionary must prune prefix/equality lookups the
-    # same way a freshly built one does
-    blocks_r.groupBy("term", "bucket").agg(
+    # same way a freshly built one does. Persisted so repartitionByRange's
+    # range-bounds sampling job reads the aggregated rows instead of
+    # re-running the groupBy (a second full postings scan).
+    from pyspark import StorageLevel
+
+    dic = blocks_r.groupBy("term", "bucket").agg(
         F.sum("n_docs").alias("df"),
         F.sum("sum_tf").alias("cf"),
         F.count("*").alias("n_blocks"),
         F.max("block_max_tf_norm").alias("max_tf_norm"),
-    ).repartitionByRange(F.col("term")).sortWithinPartitions(
-        "term"
-    ).write.mode("overwrite").parquet(f"{out_dir}/dictionary")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        dic.repartitionByRange(F.col("term")).sortWithinPartitions(
+            "term"
+        ).write.mode("overwrite").parquet(f"{out_dir}/dictionary")
+    finally:
+        dic.unpersist()
 
     spark.createDataFrame(
         [(int(n_docs), float(avgdl), int(total_tokens))],

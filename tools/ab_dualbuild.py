@@ -38,7 +38,7 @@ def main() -> None:
     results = []
     for r in range(repeats):
         row: dict = {"repeat": r}
-        for leg, fn in [
+        legs = [
             ("single_default", lambda: build_index(
                 spark, pages, f"{work}/r{r}_a", num_buckets=16)),
             ("single_stop", lambda: build_index(
@@ -47,7 +47,12 @@ def main() -> None:
             ("dual", lambda: build_index_dual(
                 spark, pages, f"{work}/r{r}_c", f"{work}/r{r}_d",
                 num_buckets=16)),
-        ]:
+        ]
+        # rotate leg order per repeat: this box's co-tenant load ramps over
+        # a run, so a fixed order systematically charges the last leg the
+        # hottest box — rotation distributes the ramp across legs
+        legs = legs[r % 3:] + legs[: r % 3]
+        for leg, fn in legs:
             row[f"load_before_{leg}"] = round(os.getloadavg()[0], 1)
             t0 = time.monotonic()
             fn()
