@@ -124,53 +124,58 @@ def main() -> None:
     idx2 = f"{work}/idx_synth"
     from solr_indexing_spark.indexing.build import build_index_dual
 
-    build_rounds: list[dict[str, float]] = []
-    for r in range(3):
-        round_walls: dict[str, float] = {}
-        for leg, fn in (
-            # distinct sink dirs per repeat: identical plans may be served
-            # from Spark's result cache — a warm repeat of the same sink
-            # would time nothing. idx2 (served to the query benches below)
-            # is written on the LAST round so later sections read it warm.
-            (
-                "q_index_build_synth",
-                lambda: build_index(
-                    spark, synth_pages,
-                    idx2 if r == 2 else f"{work}/idx_synth_r{r}",
-                    num_buckets=16,
-                ),
-            ),
-            (
-                "q_index_build_stop",
-                lambda: build_index(
-                    spark, synth_pages, f"{work}/idx_stop_{r}",
-                    num_buckets=16, analyzer="stopword",
-                ),
-            ),
-            (
-                "q_index_build_dual",
-                lambda: build_index_dual(
-                    spark, synth_pages,
-                    f"{work}/idx_dual_a{r}", f"{work}/idx_dual_b{r}",
-                    num_buckets=16,
-                ),
-            ),
-        ):
-            t0 = time.monotonic()
-            fn()
-            round_walls[leg] = time.monotonic() - t0
-        build_rounds.append(round_walls)
-    for leg in ("q_index_build_synth", "q_index_build_stop", "q_index_build_dual"):
-        timings[leg] = round(min(rw[leg] for rw in build_rounds), 3)
+    def trio_rounds(pages_df, sink_prefix: str, rounds: int = 3, last_single=None):
+        """Round-robin [single-default, single-stopword, dual] × rounds.
+        Per-leg wall = min across rounds; the dual-vs-two-singles ratio is
+        the min over PAIRED rounds (the round's load cancels inside the
+        ratio). Distinct sink dirs per round: identical plans may be
+        served from Spark's result cache — a warm repeat of the same sink
+        would time nothing. ``last_single`` (optional) is the sink for the
+        LAST round's default build, so sections that read it get it warm."""
+        rws: list[dict[str, float]] = []
+        for r in range(rounds):
+            single_sink = (
+                last_single if (last_single and r == rounds - 1)
+                else f"{work}/{sink_prefix}_single_r{r}"
+            )
+            row: dict[str, float] = {}
+            for leg, fn in (
+                ("single", lambda: build_index(
+                    spark, pages_df, single_sink, num_buckets=16)),
+                ("stop", lambda: build_index(
+                    spark, pages_df, f"{work}/{sink_prefix}_stop_r{r}",
+                    num_buckets=16, analyzer="stopword")),
+                ("dual", lambda: build_index_dual(
+                    spark, pages_df,
+                    f"{work}/{sink_prefix}_dual_a{r}",
+                    f"{work}/{sink_prefix}_dual_b{r}",
+                    num_buckets=16)),
+            ):
+                t0 = time.monotonic()
+                fn()
+                row[leg] = time.monotonic() - t0
+            rws.append(row)
+        mins = {leg: min(rw[leg] for rw in rws) for leg in ("single", "stop", "dual")}
+        ratio = min(rw["dual"] / (rw["single"] + rw["stop"]) for rw in rws)
+        return mins, round(ratio, 3)
+
+    mins, dual_vs_two_builds = trio_rounds(synth_pages, "syn", last_single=idx2)
+    timings["q_index_build_synth"] = round(mins["single"], 3)
+    timings["q_index_build_stop"] = round(mins["stop"], 3)
+    timings["q_index_build_dual"] = round(mins["dual"], 3)
     synth_docs_per_sec = round(synth_n / timings["q_index_build_synth"], 1)
-    dual_vs_two_builds = round(
-        min(
-            rw["q_index_build_dual"]
-            / (rw["q_index_build_synth"] + rw["q_index_build_stop"])
-            for rw in build_rounds
-        ),
-        3,
-    )
+
+    # --- dual build on a stopword-rich corpus (the REALISTIC web-text
+    # case: ~40% of running English text is stopwords, so the stopword
+    # variant's posting stream is much smaller and the shared pass
+    # clearly wins; the zero-stopword synth trio above is the worst
+    # case). Same round-robin + paired-ratio discipline — a single round
+    # measured anywhere from 0.845 to 1.506 on identical code.
+    stopmix_path = f"{work}/pages_stopmix.parquet"
+    write_pages_parquet(stopmix_path, synth_n, seed=7, stopword_frac=0.4)
+    stopmix_pages = spark.read.parquet(stopmix_path)
+    sm_mins, dual_vs_two_builds_stopmix = trio_rounds(stopmix_pages, "sm")
+    timings["q_index_build_dual_stopmix"] = round(sm_mins["dual"], 3)
 
     # --- BM25 query latency (warm p50 over the fixed query set) ----------
     queries = list(entry.FT_QUERIES.values()) + [
@@ -412,6 +417,8 @@ def main() -> None:
                 "bm25_batch_n": len(batch_queries),
                 "bm25_batch_qps": batch_qps,
                 "dual_build_vs_two_builds_ratio": dual_vs_two_builds,
+                "dual_build_vs_two_builds_ratio_stopmix":
+                    dual_vs_two_builds_stopmix,
                 "pipeline_batch_n": len(batch_names),
             }
         )

@@ -620,9 +620,15 @@ def build_docs_dual(
     """``build_docs`` twin for the dual-analyzer build: docs carry BOTH
     ``doclen`` (default analyzer) and ``doclen_stop`` (stopword
     analyzer), computed by ONE tokenize pass (textprep.doclens_dual)
-    BEFORE the range shuffle — the materialization persisted inside
-    assign_doc_ids therefore caches both values, so the two per-segment
-    docs writes share one extraction and one tokenize."""
+    AFTER the range shuffle — like build_docs' doclen. Computing it
+    before the shuffle (the original design, so assign_doc_ids' persist
+    would cache both values for the two docs writes) ran the UDF at the
+    PARQUET SCAN's parallelism (one small input file = 1-2 tasks) and
+    TWICE (repartitionByRange's range-bounds sampling job executes the
+    child plan, UDF columns included) — measured 11 s of a 25 s dual
+    build at 20k docs. Post-shuffle the UDF runs at num_partitions-way
+    parallelism; the two docs writes each evaluate it once from the
+    cached text, concurrently."""
     cols = set(pages.columns)
     if "text" not in cols:
         pages = pages.withColumn("text", extract_text(F.col("html")))
@@ -631,15 +637,15 @@ def build_docs_dual(
     pages = pages.select(
         *[c for c in ("url", "text", "lang", "_ext") if c in pages.columns]
     )
-    dd = doclens_dual(F.col("text"))
-    pages = pages.select(
-        "*",
-        F.element_at(dd, 1).alias("doclen"),
-        F.element_at(dd, 2).alias("doclen_stop"),
-    )
     docs = assign_doc_ids(
         pages, order_col="url", num_partitions=num_partitions,
         base_doc_id=base_doc_id,
+    )
+    dd = doclens_dual(F.col("text"))
+    docs = docs.select(
+        "*",
+        F.element_at(dd, 1).alias("doclen"),
+        F.element_at(dd, 2).alias("doclen_stop"),
     )
     docids_cache = getattr(docs, "_docids_cache", None)
     docids_expected = getattr(docs, "_docids_expected", None)

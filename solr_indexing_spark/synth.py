@@ -82,8 +82,19 @@ def render_html(text: str, i: int, site: int) -> bytes:
     ).format(i=i, site=site, p1=p1, p2=p2, p3=p3).encode("utf-8")
 
 
-def gen_pages(n: int, seed: int = 42, skew: bool = False) -> pd.DataFrame:
-    """Generate n pages as a pandas DataFrame (columnar, vectorized)."""
+def gen_pages(
+    n: int, seed: int = 42, skew: bool = False, stopword_frac: float = 0.0
+) -> pd.DataFrame:
+    """Generate n pages as a pandas DataFrame (columnar, vectorized).
+
+    ``stopword_frac`` > 0 interleaves English stopwords (textprep.STOPWORDS)
+    so roughly that fraction of each doc's tokens are stop terms — the
+    realistic web-text shape (~40% of running English text is stopwords),
+    where the stopword-analyzer variant's posting stream is much smaller
+    than the default's. Drawn from an independent rng stream so
+    ``stopword_frac=0`` output stays byte-identical to the historical
+    corpus for every (n, seed) — golden anchors and test fixtures depend
+    on that."""
     rng = np.random.default_rng(seed)
     lens = rng.integers(20, 801, size=n)
     total = int(lens.sum())
@@ -96,6 +107,14 @@ def gen_pages(n: int, seed: int = 42, skew: bool = False) -> pd.DataFrame:
     offsets = np.concatenate([[0], np.cumsum(lens)])
     skew_mask = rng.random(n) < 0.9 if skew else np.zeros(n, dtype=bool)
 
+    stop_vocab = None
+    rng_stop = None
+    if stopword_frac > 0.0:
+        from .textprep import STOPWORDS
+
+        stop_vocab = np.array(sorted(STOPWORDS), dtype=object)
+        rng_stop = np.random.default_rng(seed + 0x5709)
+
     texts, urls, langs = [], [], []
     lang_choices = rng.choice(["en"] * 9 + ["hi", "de", "zz"], size=n)
     for i in range(n):
@@ -103,6 +122,17 @@ def gen_pages(n: int, seed: int = 42, skew: bool = False) -> pd.DataFrame:
         doc_toks.append(f"salt{i:07d}")  # unique per-doc term
         if skew_mask[i]:
             doc_toks.insert(int(lens[i]) // 2, SKEW_TERM)
+        if stop_vocab is not None:
+            # k stop tokens so k / (len + k) ≈ stopword_frac, spliced at
+            # deterministic positions (content tokens keep their order)
+            k = int(len(doc_toks) * stopword_frac / (1.0 - stopword_frac))
+            if k:
+                ins = rng_stop.integers(0, len(doc_toks) + 1, size=k)
+                stops = stop_vocab[rng_stop.integers(0, len(stop_vocab), k)]
+                for pos, s in sorted(
+                    zip(ins.tolist(), stops.tolist()), reverse=True
+                ):
+                    doc_toks.insert(pos, s)
         texts.append(" ".join(doc_toks))
         urls.append(f"https://site{i % 97}.example/{_slug(i)}")
         langs.append(str(lang_choices[i]))
@@ -147,6 +177,14 @@ def write_pandas_pages(pdf: pd.DataFrame, path: str) -> str:
     return path
 
 
-def write_pages_parquet(path: str, n: int, seed: int = 42, skew: bool = False) -> str:
+def write_pages_parquet(
+    path: str,
+    n: int,
+    seed: int = 42,
+    skew: bool = False,
+    stopword_frac: float = 0.0,
+) -> str:
     """Write a pages parquet the engine can `spark.read.parquet`."""
-    return write_pandas_pages(gen_pages(n, seed=seed, skew=skew), path)
+    return write_pandas_pages(
+        gen_pages(n, seed=seed, skew=skew, stopword_frac=stopword_frac), path
+    )

@@ -77,3 +77,27 @@ def test_udf_matches_pure_python(spark, pages_df):
     for r in out:
         assert r["ext"] == r["text"]
         assert r["toks"] == tokenize_str(r["text"])
+
+
+def test_gen_pages_stopword_frac():
+    """stopword_frac=0 must stay byte-identical to the historical corpus
+    (golden anchors depend on the (n, seed) stream); frac>0 interleaves
+    ~that fraction of STOPWORDS tokens, html staying in sync with text."""
+    from solr_indexing_spark.synth import gen_pages
+    from solr_indexing_spark.textprep import STOPWORDS
+
+    base = gen_pages(200, seed=7)
+    again = gen_pages(200, seed=7, stopword_frac=0.0)
+    assert (base["text"] == again["text"]).all()
+    assert list(base["html"]) == list(again["html"])
+
+    mixed = gen_pages(200, seed=7, stopword_frac=0.4)
+    toks = " ".join(mixed["text"]).split()
+    frac = sum(t in STOPWORDS for t in toks) / len(toks)
+    assert 0.35 < frac < 0.45, frac
+    # content tokens keep their order: stripping stopwords recovers base
+    for b, m in zip(base["text"], mixed["text"]):
+        kept = " ".join(t for t in m.split() if t not in STOPWORDS)
+        assert kept == b
+    # html rendered from the mixed text (extraction invariant holds)
+    assert extract_text_str(mixed["html"].iloc[0]) == mixed["text"].iloc[0]

@@ -6,7 +6,11 @@ corpus (20k pages, seed 7), num_buckets=16, local[32] — then runs
 prints per-repeat timings plus the dual-vs-two-builds ratio per repeat,
 with 1-minute load averages recorded before each leg.
 
-Usage: python tools/ab_dualbuild.py [repeats]
+Usage: python tools/ab_dualbuild.py [repeats] [stopword_frac]
+
+A second positional arg > 0 generates the corpus with that stopword
+fraction (the realistic web-text shape) instead of the zero-stopword
+worst case.
 """
 
 from __future__ import annotations
@@ -23,6 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     repeats = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    stopword_frac = float(sys.argv[2]) if len(sys.argv) > 2 else 0.0
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
     from solr_indexing_spark.indexing.build import build_index, build_index_dual
@@ -32,7 +37,7 @@ def main() -> None:
     spark = get_spark("ab_dualbuild", cores=cpus)
     work = tempfile.mkdtemp(prefix="ab_dual_")
     synth_path = f"{work}/pages_synth.parquet"
-    write_pages_parquet(synth_path, 20000, seed=7)
+    write_pages_parquet(synth_path, 20000, seed=7, stopword_frac=stopword_frac)
     pages = spark.read.parquet(synth_path)
 
     results = []
