@@ -294,12 +294,20 @@ def taat_shard_topk(
         totals = dense[nz]
     else:
         # unbounded/huge spans (auto shard width grows with corpus doc
-        # span): stable sort-merge of the pre-sorted per-term runs
+        # span): stable sort-merge of the pre-sorted per-term runs.
+        # Accumulate with bincount over run indices, NOT add.reduceat:
+        # reduceat's pairwise grouping is a different float-addition
+        # order than the sequential loops of bincount / the WAND kernel,
+        # and a doc whose contributions arrive in a different term order
+        # than a tied rival can land one ulp away and flip an exact-tie
+        # rank between kernels.
         order = np.argsort(ids, kind="stable")
         ids, sc = ids[order], sc[order]
         starts = np.concatenate(([0], np.nonzero(np.diff(ids))[0] + 1))
         uids = ids[starts]
-        totals = np.add.reduceat(sc, starts)
+        run = np.zeros(len(ids), dtype=np.int64)
+        run[starts[1:]] = 1
+        totals = np.bincount(np.cumsum(run), weights=sc)
     if dead:
         if isinstance(dead, BroadcastDeadSet):
             darr = dead.to_array()
