@@ -384,6 +384,23 @@ def _ft_bm25_multi(spark, sf_dir):
         )
         .withColumn("mode", F.lit("mlt"))
     )
+    # FUZZY mode (mode='fuzzy'): topk_fuzzy — Solr `spart~2`: the typo'd
+    # probe is NOT in the corpus; Levenshtein expansion against the
+    # dictionary (prefix_len=1 pins the first char, the term-range-file
+    # prune) rescues it to {spark, sort}, scored as the standard OR
+    # rewrite. Oracle expands via DuckDB's levenshtein over the token
+    # stream and runs the same BM25 CTE.
+    from solr_indexing_spark.query.bmw import topk_fuzzy
+
+    fuzzy = (
+        topk_fuzzy(spark, idx, "spart", k=5, max_edits=2, prefix_len=1)
+        .select(
+            F.lit(1).alias("query_id"),
+            "doc_id",
+            F.round("score", 4).alias("score"),
+        )
+        .withColumn("mode", F.lit("fuzzy"))
+    )
     # SORTED mode (mode='sorted'): sorted_topk (query/sorting.py) — Solr
     # sort=lang desc, start=3, rows=5 over query 1's match set; score is
     # the GLOBAL rank (start + page position) so the value hash pins the
@@ -409,6 +426,7 @@ def _ft_bm25_multi(spark, sf_dir):
         .unionByName(batch)
         .unionByName(filtered)
         .unionByName(mlt)
+        .unionByName(fuzzy)
         .unionByName(srt)
         .select("query_id", "mode", "doc_id", "score")
     )
@@ -2145,6 +2163,33 @@ from (
   where d.doc_id in (
     select distinct doc_id from toks where term in ({ftq_terms}))
 ) where rn > 3 and rn <= 8
+"""
+    # fuzzy mode: Solr `spart~2` with prefixLength=1 — the oracle derives
+    # the SAME Levenshtein expansion from the token stream (DuckDB
+    # levenshtein; first char pinned, length band implied by the edit
+    # bound) and runs the standard BM25 CTE over it — mirrors
+    # query/bmw.py topk_fuzzy
+    multi += f"""
+union all
+select 1 as query_id, 'fuzzy' as mode, doc_id, score from (
+  with toks as ({_TOKS}),
+  dl as (select doc_id, count(*) as doclen from toks group by doc_id),
+  stats as (select count(*) as n, avg(doclen) as avgdl from dl),
+  q as (select distinct term from toks
+        where term like 's%' and levenshtein(term, 'spart') <= 2),
+  tf as (select t.term, t.doc_id, count(*) as tf
+         from toks t join q using(term) group by 1, 2),
+  df as (select term, count(*) as df from tf group by 1),
+  w as (select tf.doc_id,
+               ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.doclen / s.avgdl)) as w
+        from tf join df using(term) join dl using(doc_id)
+        cross join stats s)
+  select doc_id, round(sum(w), 4) as score
+  from w group by doc_id
+  order by sum(w) desc, doc_id asc limit 5
+)
 """
     simhash_votes = ", ".join(
         f"sum(case when (h & {1 << b}) != 0 then tf else -tf end) as v{b}"

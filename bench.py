@@ -277,9 +277,15 @@ def main() -> None:
         phrase_topk(spark, idx_pos, ph, k=10).collect()
     timings["q_phrase"] = round(time.monotonic() - t0, 3)
 
-    from solr_indexing_spark.query.bmw import topk_prefix
+    from solr_indexing_spark.query.bmw import topk_fuzzy, topk_prefix
 
     timed("q_prefix", lambda: topk_prefix(spark, idx, "sc", k=10).collect())
+    # Solr `spart~2`: typo'd probe rescued by Levenshtein expansion
+    # (prefix_len=1 → term-range-file pruned dictionary scan) + OR rewrite
+    timed(
+        "q_fuzzy",
+        lambda: topk_fuzzy(spark, idx, "spart", k=10, max_edits=2).collect(),
+    )
 
     from solr_indexing_spark.query.completion import complete
 

@@ -28,6 +28,20 @@ from __future__ import annotations
 
 import argparse
 import json
+import re
+
+# Solr fuzzy syntax on a single token: `term~` (2 edits, the Solr
+# default), `term~1`, `term~2`
+_FUZZY_RE = re.compile(r"^([^\s~*]+)~([12])?$")
+
+
+def parse_fuzzy(q: str) -> tuple[str, int] | None:
+    """(term, max_edits) when ``q`` is a single-token Solr fuzzy query,
+    else None."""
+    m = _FUZZY_RE.match(q)
+    if m is None:
+        return None
+    return m.group(1), int(m.group(2) or 2)
 
 
 def serve(spark, args) -> None:
@@ -165,6 +179,10 @@ def serve(spark, args) -> None:
                 # a prefix query — expand against the session's union
                 # dictionary, score the OR expansion
                 result = sess.topk_prefix(req[:-1], k=args.k)
+            elif (fz := parse_fuzzy(req)) is not None:
+                # Solr fuzzy (`term~N`): Levenshtein expansion against
+                # the union dictionary, same OR rewrite
+                result = sess.topk_fuzzy(fz[0], k=args.k, max_edits=fz[1])
             else:
                 result = sess.topk(req, k=args.k)
             rows = (
@@ -475,6 +493,20 @@ def main() -> None:
         sources = seg_dirs if seg_dirs is not None else [args.index]
         sess = SegmentsSession(spark, sources, cache_dictionary=False)
         result = sess.topk_prefix(args.query[:-1], k=fetch_k, allow=allow)
+    elif (
+        not args.phrase
+        and args.mode == "bmw"
+        and (fz := parse_fuzzy(args.query)) is not None
+    ):
+        # Solr fuzzy rewrite: `term~N` — Levenshtein expansion → the
+        # expanded OR query; chains + fq compose via the session path
+        from solr_indexing_spark.indexing.incremental import SegmentsSession
+
+        sources = seg_dirs if seg_dirs is not None else [args.index]
+        sess = SegmentsSession(spark, sources, cache_dictionary=False)
+        result = sess.topk_fuzzy(
+            fz[0], k=fetch_k, max_edits=fz[1], allow=allow
+        )
     elif args.phrase and seg_dirs is not None:
         from solr_indexing_spark.query.phrase import phrase_topk_segments
 

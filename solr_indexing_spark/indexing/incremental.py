@@ -460,6 +460,32 @@ class SegmentsSession:
             )
         return self.topk(terms, k=k, shard_range=shard_range, allow=allow)
 
+    def topk_fuzzy(
+        self,
+        term: str,
+        k: int = 10,
+        max_edits: int = 1,
+        prefix_len: int = 1,
+        max_terms: int = 64,
+        shard_range: int | None = None,
+        allow=None,
+    ) -> DataFrame:
+        """Fuzzy (``term~N``) BM25 top-k over the chain: Levenshtein
+        expansion against the session's persisted UNION dictionary
+        (chain-wide df ranking, delta-only terms expandable), then the
+        expanded OR query through the standard warm path — same shape as
+        :meth:`topk_prefix`."""
+        from ..query.bmw import expand_fuzzy_df
+
+        terms = expand_fuzzy_df(
+            self.dictionary, term, max_edits, prefix_len, max_terms
+        )
+        if not terms:
+            return self.spark.createDataFrame(
+                [], "doc_id long, score double"
+            )
+        return self.topk(terms, k=k, shard_range=shard_range, allow=allow)
+
     def mlt(
         self,
         doc_id: int,

@@ -668,6 +668,10 @@ class JobSession:
         """Prefix (``pre*``) BM25 top-k over the variant's live chain."""
         return self.segments.topk_prefix(prefix, **kw)
 
+    def topk_fuzzy(self, term: str, **kw) -> DataFrame:
+        """Fuzzy (``term~N``) BM25 top-k over the variant's live chain."""
+        return self.segments.topk_fuzzy(term, **kw)
+
     def complete(self, prefix: str, k: int = 10) -> DataFrame:
         """Weighted prefix completion over the job's completion tables
         (max weight per input across base + deltas, as

@@ -988,6 +988,95 @@ def topk_prefix(
     return topk(spark, index_dir, terms, k=k, shard_range=shard_range)
 
 
+def expand_fuzzy_df(
+    dictionary: DataFrame,
+    term: str,
+    max_edits: int = 1,
+    prefix_len: int = 1,
+    max_terms: int = 64,
+) -> list[str]:
+    """Dictionary terms within ``max_edits`` Levenshtein edits of
+    ``term`` — Lucene FuzzyQuery's candidate enumeration (Solr
+    ``term~N``), Spark-side over an already-assembled dictionary plan.
+
+    Pruning, outermost first: ``prefix_len`` (Lucene's
+    ``prefixLength``, default 1 — practical Solr deployments pin the
+    first character) becomes a ``startswith`` predicate that pushes to
+    parquet and prunes the term-range dictionary files exactly like
+    prefix queries; a term-length band (edit distance ≥ length delta)
+    drops most survivors before the DP runs; Catalyst's
+    ``levenshtein(l, r, threshold)`` short-circuits row evaluation past
+    the bound. At ``prefix_len=0`` the scan is the full dictionary —
+    supported (Lucene's default) but the caller owns that cost; the
+    budget cap still bounds the OR fan-out.
+
+    Candidates rank edit-distance-first, then df, then term — Lucene's
+    closest-then-commonest priority for the ``max_terms`` rewrite budget.
+    """
+    t = term.lower()
+    d = dictionary
+    if prefix_len > 0:
+        d = d.filter(F.col("term").startswith(t[:prefix_len]))
+    dist = F.levenshtein(F.col("term"), F.lit(t), max_edits)
+    rows = (
+        d.filter(
+            F.length("term").between(len(t) - max_edits, len(t) + max_edits)
+        )
+        .withColumn("_ed", dist)
+        .filter(F.col("_ed") >= 0)
+        .groupBy("term")
+        .agg(F.min("_ed").alias("_ed"), F.sum("df").alias("df"))
+        .orderBy(F.asc("_ed"), F.desc("df"), F.asc("term"))
+        .limit(max_terms)
+        .collect()
+    )
+    return [r["term"] for r in rows]
+
+
+def expand_fuzzy(
+    spark: SparkSession,
+    index_dir: str,
+    term: str,
+    max_edits: int = 1,
+    prefix_len: int = 1,
+    max_terms: int = 64,
+) -> list[str]:
+    """Fuzzy expansion against one segment's dictionary — see
+    :func:`expand_fuzzy_df`. Dictionary scan only; postings untouched."""
+    return expand_fuzzy_df(
+        spark.read.parquet(f"{index_dir}/dictionary"),
+        term,
+        max_edits,
+        prefix_len,
+        max_terms,
+    )
+
+
+def topk_fuzzy(
+    spark: SparkSession,
+    index_dir: str,
+    term: str,
+    k: int = 10,
+    max_edits: int = 1,
+    prefix_len: int = 1,
+    max_terms: int = 64,
+    shard_range: int | None = None,
+) -> DataFrame:
+    """BM25 top-k for a fuzzy query (Solr ``term~N``): expand against the
+    dictionary within the edit-distance bound, then run the expanded
+    OR-query through block-max WAND — the same multi-term-query rewrite
+    as prefix queries. Scoring is straight OR-BM25 over the expansion
+    (consistent with :func:`topk_prefix`; Lucene's optional
+    similarity-blended boosts are a rescoring concern, not a candidate
+    one)."""
+    terms = expand_fuzzy(
+        spark, index_dir, term, max_edits, prefix_len, max_terms
+    )
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    return topk(spark, index_dir, terms, k=k, shard_range=shard_range)
+
+
 def topk_boosted(
     spark: SparkSession,
     index_dir: str,
