@@ -401,6 +401,35 @@ def _ft_bm25_multi(spark, sf_dir):
         )
         .withColumn("mode", F.lit("fuzzy"))
     )
+    # WILDCARD mode (mode='wildcard'): topk_wildcard — Solr `s?a*`
+    # (? = one char, * = any run) expands to {scan, small, spark} via
+    # the anchored-regex dictionary scan (leading literal pruned), then
+    # the standard OR rewrite. Oracle expands via SQL LIKE 's_a%'.
+    from solr_indexing_spark.query.bmw import topk_not, topk_wildcard
+
+    wild = (
+        topk_wildcard(spark, idx, "s?a*", k=5)
+        .select(
+            F.lit(1).alias("query_id"),
+            "doc_id",
+            F.round("score", 4).alias("score"),
+        )
+        .withColumn("mode", F.lit("wildcard"))
+    )
+    # NOT mode (mode='not'): topk_not — Solr prohibited clause
+    # `spark query data -hash`: docs containing 'hash' drop out of the
+    # candidates (exclusion set decoded through the index, unioned into
+    # the dead set), BM25 stats stay corpus-global (fq discipline).
+    # Oracle: same BM25 CTE with a NOT IN over the exclusion match set.
+    notm = (
+        topk_not(spark, idx, FT_QUERY, "hash", k=5)
+        .select(
+            F.lit(1).alias("query_id"),
+            "doc_id",
+            F.round("score", 4).alias("score"),
+        )
+        .withColumn("mode", F.lit("not"))
+    )
     # SORTED mode (mode='sorted'): sorted_topk (query/sorting.py) — Solr
     # sort=lang desc, start=3, rows=5 over query 1's match set; score is
     # the GLOBAL rank (start + page position) so the value hash pins the
@@ -427,6 +456,8 @@ def _ft_bm25_multi(spark, sf_dir):
         .unionByName(filtered)
         .unionByName(mlt)
         .unionByName(fuzzy)
+        .unionByName(wild)
+        .unionByName(notm)
         .unionByName(srt)
         .select("query_id", "mode", "doc_id", "score")
     )
@@ -2188,6 +2219,58 @@ select 1 as query_id, 'fuzzy' as mode, doc_id, score from (
         cross join stats s)
   select doc_id, round(sum(w), 4) as score
   from w group by doc_id
+  order by sum(w) desc, doc_id asc limit 5
+)
+"""
+    # wildcard mode: Solr `s?a*` — the oracle derives the SAME expansion
+    # via SQL LIKE ('_' = one char, '%' = any run) and runs the standard
+    # BM25 CTE — mirrors query/bmw.py topk_wildcard
+    multi += f"""
+union all
+select 1 as query_id, 'wildcard' as mode, doc_id, score from (
+  with toks as ({_TOKS}),
+  dl as (select doc_id, count(*) as doclen from toks group by doc_id),
+  stats as (select count(*) as n, avg(doclen) as avgdl from dl),
+  q as (select distinct term from toks where term like 's_a%'),
+  tf as (select t.term, t.doc_id, count(*) as tf
+         from toks t join q using(term) group by 1, 2),
+  df as (select term, count(*) as df from tf group by 1),
+  w as (select tf.doc_id,
+               ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.doclen / s.avgdl)) as w
+        from tf join df using(term) join dl using(doc_id)
+        cross join stats s)
+  select doc_id, round(sum(w), 4) as score
+  from w group by doc_id
+  order by sum(w) desc, doc_id asc limit 5
+)
+"""
+    # not mode: Solr `spark query data -hash` — the standard BM25 CTE
+    # with candidates matching the excluded term removed AFTER scoring
+    # with corpus-global stats (prohibited clauses are membership, not
+    # stats — same discipline as fq) — mirrors query/bmw.py topk_not
+    multi += f"""
+union all
+select 1 as query_id, 'not' as mode, doc_id, score from (
+  with toks as ({_TOKS}),
+  dl as (select doc_id, count(*) as doclen from toks group by doc_id),
+  stats as (select count(*) as n, avg(doclen) as avgdl from dl),
+  q(term) as (values {boost_vals}),
+  tf as (select t.term, t.doc_id, count(*) as tf
+         from toks t join q using(term) group by 1, 2),
+  df as (select term, count(*) as df from tf group by 1),
+  w as (select tf.doc_id,
+               ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.doclen / s.avgdl)) as w
+        from tf join df using(term) join dl using(doc_id)
+        cross join stats s)
+  select doc_id, round(sum(w), 4) as score
+  from w
+  where doc_id not in (select distinct doc_id from toks
+                       where term = 'hash')
+  group by doc_id
   order by sum(w) desc, doc_id asc limit 5
 )
 """

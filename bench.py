@@ -277,7 +277,12 @@ def main() -> None:
         phrase_topk(spark, idx_pos, ph, k=10).collect()
     timings["q_phrase"] = round(time.monotonic() - t0, 3)
 
-    from solr_indexing_spark.query.bmw import topk_fuzzy, topk_prefix
+    from solr_indexing_spark.query.bmw import (
+        topk_fuzzy,
+        topk_not,
+        topk_prefix,
+        topk_wildcard,
+    )
 
     timed("q_prefix", lambda: topk_prefix(spark, idx, "sc", k=10).collect())
     # Solr `spart~2`: typo'd probe rescued by Levenshtein expansion
@@ -285,6 +290,17 @@ def main() -> None:
     timed(
         "q_fuzzy",
         lambda: topk_fuzzy(spark, idx, "spart", k=10, max_edits=2).collect(),
+    )
+    # Solr `s?a*` wildcard and `... -hash` prohibited clause
+    timed(
+        "q_wildcard",
+        lambda: topk_wildcard(spark, idx, "s?a*", k=10).collect(),
+    )
+    timed(
+        "q_not",
+        lambda: topk_not(
+            spark, idx, "spark query data", "hash", k=10
+        ).collect(),
     )
 
     from solr_indexing_spark.query.completion import complete

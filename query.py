@@ -32,7 +32,8 @@ import re
 
 # Solr fuzzy syntax on a single token: `term~` (2 edits, the Solr
 # default), `term~1`, `term~2`
-_FUZZY_RE = re.compile(r"^([^\s~*]+)~([12])?$")
+_FUZZY_RE = re.compile(r"^([^\s~*?]+)~([12])?$")
+_PREFIX_RE = re.compile(r"^[^\s~*?]+\*$")
 
 
 def parse_fuzzy(q: str) -> tuple[str, int] | None:
@@ -42,6 +43,34 @@ def parse_fuzzy(q: str) -> tuple[str, int] | None:
     if m is None:
         return None
     return m.group(1), int(m.group(2) or 2)
+
+
+def classify_single(q: str):
+    """Route a single-token query to its Solr multi-term rewrite:
+    ('prefix', stem) for a pure trailing star, ('wildcard', pattern) for
+    any other ``*``/``?`` pattern, ('fuzzy', (term, edits)) for
+    ``term~N`` — else None (plain term query)."""
+    if " " in q:
+        return None
+    if _PREFIX_RE.match(q):
+        return ("prefix", q[:-1])
+    if "*" in q or "?" in q:
+        return ("wildcard", q)
+    fz = parse_fuzzy(q)
+    if fz is not None:
+        return ("fuzzy", fz)
+    return None
+
+
+def parse_not(q: str) -> tuple[str, str] | None:
+    """Solr prohibited clauses: ``foo bar -baz`` → ("foo bar", "baz").
+    None unless the query has BOTH positive and ``-``-prefixed terms."""
+    toks = q.split()
+    pos = [t for t in toks if not t.startswith("-")]
+    neg = [t[1:] for t in toks if t.startswith("-") and len(t) > 1]
+    if not pos or not neg:
+        return None
+    return " ".join(pos), " ".join(neg)
 
 
 def serve(spark, args) -> None:
@@ -174,15 +203,26 @@ def serve(spark, args) -> None:
                 print(json.dumps({"complete": prefix, "hits": hits}),
                       flush=True)
                 continue
-            if req.endswith("*") and " " not in req:
+            kind = classify_single(req)
+            if kind is not None and kind[0] == "prefix":
                 # Solr multi-term rewrite: a single trailing-star token is
                 # a prefix query — expand against the session's union
                 # dictionary, score the OR expansion
-                result = sess.topk_prefix(req[:-1], k=args.k)
-            elif (fz := parse_fuzzy(req)) is not None:
+                result = sess.topk_prefix(kind[1], k=args.k)
+            elif kind is not None and kind[0] == "wildcard":
+                # Solr wildcard (`t?ble`, `ta*le`): regex expansion,
+                # same OR rewrite
+                result = sess.topk_wildcard(kind[1], k=args.k)
+            elif kind is not None and kind[0] == "fuzzy":
                 # Solr fuzzy (`term~N`): Levenshtein expansion against
                 # the union dictionary, same OR rewrite
-                result = sess.topk_fuzzy(fz[0], k=args.k, max_edits=fz[1])
+                result = sess.topk_fuzzy(
+                    kind[1][0], k=args.k, max_edits=kind[1][1]
+                )
+            elif (nq := parse_not(req)) is not None:
+                # Solr prohibited clauses (`foo -bar`): exclusion match
+                # set unioned into the dead set, stats corpus-global
+                result = sess.topk_not(nq[0], nq[1], k=args.k)
             else:
                 result = sess.topk(req, k=args.k)
             rows = (
@@ -479,34 +519,35 @@ def main() -> None:
     # paging; keep start page-sized, as with --sort)
     fetch_k = args.k + args.start
 
-    if (
-        not args.phrase
-        and args.mode == "bmw"
-        and args.query.endswith("*")
-        and " " not in args.query
-    ):
-        # Solr multi-term rewrite: `pre*` — dictionary expansion (range-
-        # file pruned) → the expanded OR query; chains + fq compose via
-        # the session path
+    kind = (
+        classify_single(args.query)
+        if not args.phrase and args.mode == "bmw"
+        else None
+    )
+    notq = (
+        parse_not(args.query)
+        if kind is None and not args.phrase and args.mode == "bmw"
+        else None
+    )
+    if kind is not None or notq is not None:
+        # Solr rewrites — `pre*` prefix, `t?ble` wildcard, `term~N`
+        # fuzzy (dictionary expansion → the expanded OR query) and
+        # `foo -bar` prohibited clauses (exclusion set unioned into the
+        # dead set); chains + fq compose via the session path
         from solr_indexing_spark.indexing.incremental import SegmentsSession
 
         sources = seg_dirs if seg_dirs is not None else [args.index]
         sess = SegmentsSession(spark, sources, cache_dictionary=False)
-        result = sess.topk_prefix(args.query[:-1], k=fetch_k, allow=allow)
-    elif (
-        not args.phrase
-        and args.mode == "bmw"
-        and (fz := parse_fuzzy(args.query)) is not None
-    ):
-        # Solr fuzzy rewrite: `term~N` — Levenshtein expansion → the
-        # expanded OR query; chains + fq compose via the session path
-        from solr_indexing_spark.indexing.incremental import SegmentsSession
-
-        sources = seg_dirs if seg_dirs is not None else [args.index]
-        sess = SegmentsSession(spark, sources, cache_dictionary=False)
-        result = sess.topk_fuzzy(
-            fz[0], k=fetch_k, max_edits=fz[1], allow=allow
-        )
+        if notq is not None:
+            result = sess.topk_not(notq[0], notq[1], k=fetch_k, allow=allow)
+        elif kind[0] == "prefix":
+            result = sess.topk_prefix(kind[1], k=fetch_k, allow=allow)
+        elif kind[0] == "wildcard":
+            result = sess.topk_wildcard(kind[1], k=fetch_k, allow=allow)
+        else:
+            result = sess.topk_fuzzy(
+                kind[1][0], k=fetch_k, max_edits=kind[1][1], allow=allow
+            )
     elif args.phrase and seg_dirs is not None:
         from solr_indexing_spark.query.phrase import phrase_topk_segments
 

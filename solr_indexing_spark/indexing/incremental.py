@@ -486,6 +486,51 @@ class SegmentsSession:
             )
         return self.topk(terms, k=k, shard_range=shard_range, allow=allow)
 
+    def topk_wildcard(
+        self,
+        pattern: str,
+        k: int = 10,
+        max_terms: int = 64,
+        shard_range: int | None = None,
+        allow=None,
+    ) -> DataFrame:
+        """Wildcard (``t?ble``) BM25 top-k over the chain — expansion
+        against the session's union dictionary, same shape as
+        :meth:`topk_prefix`."""
+        from ..query.bmw import expand_wildcard_df
+
+        terms = expand_wildcard_df(self.dictionary, pattern, max_terms)
+        if not terms:
+            return self.spark.createDataFrame(
+                [], "doc_id long, score double"
+            )
+        return self.topk(terms, k=k, shard_range=shard_range, allow=allow)
+
+    def topk_not(
+        self,
+        query,
+        exclude,
+        k: int = 10,
+        shard_range: int | None = None,
+        allow=None,
+    ) -> DataFrame:
+        """Boolean MUST_NOT (``foo -bar``) over the chain: the exclusion
+        match set rides the session's postings plan (match_ids — pruned
+        union scan, session dead set honored) and is unioned into the
+        per-generation dead set for this query only; BM25 stats stay the
+        chain's corpus-global values (fq discipline)."""
+        from ..query.bmw import make_allow, union_dead
+
+        deny = make_allow(self.spark, self.match_ids(exclude))
+        dead = self.dead
+        if deny:
+            dead = union_dead(self.spark, [dead, deny])
+        return _topk_impl(
+            self.spark, self.man, self.dictionary, self.postings, query, k,
+            shard_range, dead=dead, meta_cache=self._term_meta,
+            allow=make_allow(self.spark, allow),
+        )
+
     def mlt(
         self,
         doc_id: int,

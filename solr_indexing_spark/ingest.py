@@ -672,6 +672,16 @@ class JobSession:
         """Fuzzy (``term~N``) BM25 top-k over the variant's live chain."""
         return self.segments.topk_fuzzy(term, **kw)
 
+    def topk_wildcard(self, pattern: str, **kw) -> DataFrame:
+        """Wildcard (``t?ble``) BM25 top-k over the variant's live
+        chain."""
+        return self.segments.topk_wildcard(pattern, **kw)
+
+    def topk_not(self, query, exclude, **kw) -> DataFrame:
+        """Boolean MUST_NOT (``foo -bar``) over the variant's live
+        chain."""
+        return self.segments.topk_not(query, exclude, **kw)
+
     def complete(self, prefix: str, k: int = 10) -> DataFrame:
         """Weighted prefix completion over the job's completion tables
         (max weight per input across base + deltas, as

@@ -1077,6 +1077,112 @@ def topk_fuzzy(
     return topk(spark, index_dir, terms, k=k, shard_range=shard_range)
 
 
+def expand_wildcard_df(
+    dictionary: DataFrame, pattern: str, max_terms: int = 64
+) -> list[str]:
+    """Dictionary terms matching a Lucene wildcard pattern (``*`` = any
+    run, ``?`` = exactly one char) — WildcardQuery's enumeration,
+    Spark-side. The leading literal run becomes a ``startswith``
+    predicate (term-range-file prune — Lucene's own guidance against
+    leading wildcards carries over unchanged: a pattern starting with
+    ``*``/``?`` scans the full dictionary); the whole pattern compiles
+    to an anchored regex evaluated Catalyst-side on the survivors.
+    df-descending budget like prefix expansion."""
+    import re as _re
+
+    p = pattern.lower()
+    lit = _re.match(r"^[^*?]*", p).group(0)
+    rx = (
+        "^"
+        + "".join(
+            ".*" if c == "*" else "." if c == "?" else _re.escape(c)
+            for c in p
+        )
+        + "$"
+    )
+    d = dictionary
+    if lit:
+        d = d.filter(F.col("term").startswith(lit))
+    rows = (
+        d.filter(F.col("term").rlike(rx))
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(max_terms)
+        .collect()
+    )
+    return [r["term"] for r in rows]
+
+
+def expand_wildcard(
+    spark: SparkSession, index_dir: str, pattern: str, max_terms: int = 64
+) -> list[str]:
+    """Wildcard expansion against one segment's dictionary — see
+    :func:`expand_wildcard_df`. Dictionary scan only."""
+    return expand_wildcard_df(
+        spark.read.parquet(f"{index_dir}/dictionary"), pattern, max_terms
+    )
+
+
+def topk_wildcard(
+    spark: SparkSession,
+    index_dir: str,
+    pattern: str,
+    k: int = 10,
+    max_terms: int = 64,
+    shard_range: int | None = None,
+) -> DataFrame:
+    """BM25 top-k for a wildcard query (``t?ble``, ``ta*le``): expand
+    against the dictionary, then the standard OR rewrite — completes the
+    multi-term-query family (prefix / fuzzy / wildcard) on one
+    machinery."""
+    terms = expand_wildcard(spark, index_dir, pattern, max_terms)
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    return topk(spark, index_dir, terms, k=k, shard_range=shard_range)
+
+
+def topk_not(
+    spark: SparkSession,
+    index_dir: str,
+    query,
+    exclude,
+    k: int = 10,
+    shard_range: int | None = None,
+    allow=None,
+) -> DataFrame:
+    """Boolean MUST_NOT (Solr/Lucene ``foo -bar``): top-k for ``query``
+    among docs matching NO ``exclude`` term. Exclusion is membership,
+    not a stats event — BM25 statistics stay corpus-global, exactly the
+    fq discipline (a Lucene prohibited clause removes candidates without
+    touching idf/avgdl).
+
+    The exclusion set is computed THROUGH the index (the fq/facet match
+    decode — one term-pruned postings scan, facet.matching_doc_ids),
+    normalized by the same small-set/frame policy as tombstones, and
+    unioned into the dead set: the kernels skip excluded docs without a
+    heap slot, so a query whose top docs are all excluded still returns
+    the best k survivors. Composes with fq (``allow``)."""
+    from .facet import matching_doc_ids
+
+    man = read_manifest(index_dir)
+    deny = make_allow(spark, matching_doc_ids(spark, index_dir, exclude))
+    dead = load_tombstones(spark, index_dir)
+    if deny:
+        dead = union_dead(spark, [dead, deny])
+    return _topk_impl(
+        spark,
+        man,
+        spark.read.parquet(f"{index_dir}/dictionary"),
+        spark.read.parquet(f"{index_dir}/postings"),
+        query,
+        k,
+        shard_range,
+        dead=dead,
+        allow=make_allow(spark, allow),
+    )
+
+
 def topk_boosted(
     spark: SparkSession,
     index_dir: str,
