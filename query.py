@@ -62,6 +62,33 @@ def classify_single(q: str):
     return None
 
 
+def expand_batch_rewrites(spark, queries: dict, dictionary) -> dict:
+    """Apply Solr single-token rewrites to batch lines: ``pre*``,
+    ``t?ble`` and ``term~N`` lines become expanded term lists (one
+    dictionary job per rewrite line — plain lines pass through
+    untouched and still share the ONE batched scoring job)."""
+    from solr_indexing_spark.query.bmw import (
+        expand_fuzzy_df,
+        expand_prefix_df,
+        expand_wildcard_df,
+    )
+
+    out = {}
+    for qid, q in queries.items():
+        kind = classify_single(q)
+        if kind is None:
+            out[qid] = q
+        elif kind[0] == "prefix":
+            out[qid] = expand_prefix_df(dictionary, kind[1])
+        elif kind[0] == "wildcard":
+            out[qid] = expand_wildcard_df(dictionary, kind[1])
+        else:
+            out[qid] = expand_fuzzy_df(
+                dictionary, kind[1][0], max_edits=kind[1][1]
+            )
+    return out
+
+
 def parse_not(q: str) -> tuple[str, str] | None:
     """Solr prohibited clauses: ``foo bar -baz`` → ("foo bar", "baz").
     None unless the query has BOTH positive and ``-``-prefixed terms."""
@@ -450,6 +477,9 @@ def main() -> None:
         with open(args.batch) as fh:
             qlines = [ln.strip() for ln in fh if ln.strip()]
         queries = {i: q for i, q in enumerate(qlines)}
+        # output labels keep the ORIGINAL lines even when a rewrite
+        # replaces a query with its expanded term list
+        orig_queries = dict(queries)
         if args.phrase and seg_dirs is not None:
             # batched phrase over a chain: ONE job on the same
             # (query-group × doc-range-shard) grid, chain state combined
@@ -472,10 +502,20 @@ def main() -> None:
             )
 
             sess = SegmentsSession(spark, seg_dirs)
+            if any(classify_single(q) for q in queries.values()):
+                queries = expand_batch_rewrites(
+                    spark, queries, sess.dictionary
+                )
             result = sess.topk_batch(queries, k=args.k, allow=allow)
         else:
             from solr_indexing_spark.query.batch import topk_batch
 
+            if any(classify_single(q) for q in queries.values()):
+                queries = expand_batch_rewrites(
+                    spark,
+                    queries,
+                    spark.read.parquet(f"{args.index}/dictionary"),
+                )
             result = topk_batch(
                 spark, args.index, queries, k=args.k, allow=allow
             )
@@ -501,7 +541,7 @@ def main() -> None:
         by_qid: dict[int, list] = {i: [] for i in queries}
         for r in rows:
             by_qid[r["query_id"]].append(r)
-        for i, q in queries.items():
+        for i, q in orig_queries.items():
             hits = sorted(by_qid[i], key=lambda r: (-r["score"], r["doc_id"]))
             print(json.dumps({
                 "query": q,

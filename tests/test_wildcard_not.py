@@ -166,6 +166,47 @@ def test_query_cli_not(spark, small_index):  # noqa: F811
     assert hits
 
 
+def test_query_cli_batch_rewrites(spark, small_index, tmp_path):  # noqa: F811
+    """--batch lines may mix plain terms with Solr rewrites: each
+    rewrite line expands against the dictionary, then ALL lines score in
+    the one batched job. Labels keep the original lines; a no-match
+    rewrite yields an empty hit list, not an error."""
+    import json as _json
+    import subprocess
+    import sys
+
+    from solr_indexing_spark.query.bmw import topk_fuzzy, topk_wildcard
+
+    idx, pdf = small_index
+    lines = ["locorcor", "m?k*", "locorcar~2", "zzzznope*"]
+    qfile = tmp_path / "queries.txt"
+    qfile.write_text("".join(ln + "\n" for ln in lines))
+    r = subprocess.run(
+        [sys.executable, "query.py", "--index", idx,
+         "--batch", str(qfile), "--k", "5", "--cores", "4"],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = [_json.loads(l)
+           for l in r.stdout.replace("\r", "\n").splitlines()
+           if l.startswith("{")]
+    assert [o["query"] for o in out] == lines
+    by_q = {o["query"]: [h["doc_id"] for h in o["hits"]] for o in out}
+    from solr_indexing_spark.query.bmw import topk as _topk
+
+    assert by_q["locorcor"] == [
+        r2["doc_id"] for r2 in _topk(spark, idx, "locorcor", k=5).collect()
+    ]
+    assert by_q["m?k*"] == [
+        r2["doc_id"] for r2 in topk_wildcard(spark, idx, "m?k*", k=5).collect()
+    ]
+    assert by_q["locorcar~2"] == [
+        r2["doc_id"]
+        for r2 in topk_fuzzy(spark, idx, "locorcar", k=5, max_edits=2).collect()
+    ]
+    assert by_q["zzzznope*"] == []
+
+
 def test_cli_routing_helpers():
     from query import classify_single, parse_not
 
