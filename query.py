@@ -62,11 +62,18 @@ def classify_single(q: str):
     return None
 
 
-def expand_batch_rewrites(spark, queries: dict, dictionary) -> dict:
+def expand_batch_rewrites(
+    spark, queries: dict, dictionary, max_terms: int = 64
+) -> dict:
     """Apply Solr single-token rewrites to batch lines: ``pre*``,
     ``t?ble`` and ``term~N`` lines become expanded term lists (one
     dictionary job per rewrite line — plain lines pass through
-    untouched and still share the ONE batched scoring job)."""
+    untouched and still share the ONE batched scoring job).
+
+    ``max_terms`` is the scoring budget (Lucene's top-terms rewrite);
+    match-set callers (count/facet/sort) pass it unbounded — Lucene's
+    CONSTANT_SCORE_REWRITE enumerates every matching term, since a
+    filter has no top-terms notion."""
     from solr_indexing_spark.query.bmw import (
         expand_fuzzy_df,
         expand_prefix_df,
@@ -79,12 +86,13 @@ def expand_batch_rewrites(spark, queries: dict, dictionary) -> dict:
         if kind is None:
             out[qid] = q
         elif kind[0] == "prefix":
-            out[qid] = expand_prefix_df(dictionary, kind[1])
+            out[qid] = expand_prefix_df(dictionary, kind[1], max_terms)
         elif kind[0] == "wildcard":
-            out[qid] = expand_wildcard_df(dictionary, kind[1])
+            out[qid] = expand_wildcard_df(dictionary, kind[1], max_terms)
         else:
             out[qid] = expand_fuzzy_df(
-                dictionary, kind[1][0], max_edits=kind[1][1]
+                dictionary, kind[1][0], max_edits=kind[1][1],
+                max_terms=max_terms,
             )
     return out
 
@@ -418,15 +426,26 @@ def main() -> None:
         sources = seg_dirs if seg_dirs is not None else [args.index]
         sess = SegmentsSession(spark, sources, cache_dictionary=False)
         try:
+            # the match set honors the same single-token rewrites as
+            # scoring: `--count "zan*"` counts the expansion's OR set.
+            # Unbounded expansion — Lucene's CONSTANT_SCORE_REWRITE: a
+            # filter/count enumerates every matching term, no top-terms
+            # budget
+            mq = args.query
+            if mq and classify_single(mq) is not None:
+                mq = expand_batch_rewrites(
+                    spark, {0: mq}, sess.dictionary,
+                    max_terms=(1 << 31) - 1,
+                )[0]
             if args.count:
                 print(json.dumps({
                     "query": args.query,
-                    "numFound": sess.count(args.query, allow=allow),
+                    "numFound": sess.count(mq, allow=allow),
                 }))
                 return
             if args.facet:
                 for r in sess.facet(
-                    args.query, col=args.facet, allow=allow,
+                    mq, col=args.facet, allow=allow,
                     max_values=args.k,
                 ).collect():
                     print(json.dumps({"facet": r["facet"], "n": r["n"]}))
@@ -454,7 +473,7 @@ def main() -> None:
 
             rows = (
                 sess.sorted_topk(
-                    args.query, sort_cols=col, k=args.k, start=args.start,
+                    mq, sort_cols=col, k=args.k, start=args.start,
                     ascending=direction != "desc", allow=allow,
                 )
                 # drop the sort col from the url side: sorting BY url would

@@ -207,6 +207,32 @@ def test_query_cli_batch_rewrites(spark, small_index, tmp_path):  # noqa: F811
     assert by_q["zzzznope*"] == []
 
 
+def test_query_cli_count_with_rewrite(spark, small_index):  # noqa: F811
+    """--count honors single-token rewrites: numFound of `m?k*` equals
+    the distinct-doc count of the expansion's OR match set."""
+    import json as _json
+    import subprocess
+    import sys
+
+    from solr_indexing_spark.query.bmw import expand_wildcard
+    from solr_indexing_spark.query.facet import matching_doc_ids
+
+    idx, _ = small_index
+    terms = expand_wildcard(spark, idx, "m?k*", max_terms=10_000)
+    want = matching_doc_ids(spark, idx, terms).count()
+    assert want > 0
+    r = subprocess.run(
+        [sys.executable, "query.py", "--index", idx,
+         "--query", "m?k*", "--count", "--cores", "4"],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = [_json.loads(l)
+           for l in r.stdout.replace("\r", "\n").splitlines()
+           if l.startswith("{")]
+    assert out[0]["numFound"] == want
+
+
 def test_cli_routing_helpers():
     from query import classify_single, parse_not
 
