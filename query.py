@@ -588,6 +588,8 @@ def main() -> None:
         if kind is None and not args.phrase and args.mode == "bmw"
         else None
     )
+    hl_query = args.query  # what --snippets should tag (expanded terms
+    # for rewrites, positive terms for prohibited clauses)
     if kind is not None or notq is not None:
         # Solr rewrites — `pre*` prefix, `t?ble` wildcard, `term~N`
         # fuzzy (dictionary expansion → the expanded OR query) and
@@ -598,15 +600,13 @@ def main() -> None:
         sources = seg_dirs if seg_dirs is not None else [args.index]
         sess = SegmentsSession(spark, sources, cache_dictionary=False)
         if notq is not None:
+            hl_query = notq[0]
             result = sess.topk_not(notq[0], notq[1], k=fetch_k, allow=allow)
-        elif kind[0] == "prefix":
-            result = sess.topk_prefix(kind[1], k=fetch_k, allow=allow)
-        elif kind[0] == "wildcard":
-            result = sess.topk_wildcard(kind[1], k=fetch_k, allow=allow)
         else:
-            result = sess.topk_fuzzy(
-                kind[1][0], k=fetch_k, max_edits=kind[1][1], allow=allow
-            )
+            hl_query = expand_batch_rewrites(
+                spark, {0: args.query}, sess.dictionary
+            )[0]
+            result = sess.topk(hl_query, k=fetch_k, allow=allow)
     elif args.phrase and seg_dirs is not None:
         from solr_indexing_spark.query.phrase import phrase_topk_segments
 
@@ -655,7 +655,7 @@ def main() -> None:
 
         rows = sorted(
             highlight_segments(
-                spark, doc_sources, result, args.query
+                spark, doc_sources, result, hl_query
             ).collect(),
             key=lambda r: (-r["score"], r["doc_id"]),
         )[args.start:]

@@ -127,7 +127,8 @@ def test_query_cli_fuzzy(spark, small_index):  # noqa: F811
     idx, _ = small_index
     r = subprocess.run(
         [sys.executable, "query.py", "--index", idx,
-         "--query", "locorcar~2", "--k", "5", "--cores", "4"],
+         "--query", "locorcar~2", "--k", "5", "--cores", "4",
+         "--snippets"],
         capture_output=True, text=True, timeout=600,
     )
     assert r.returncode == 0, r.stderr[-2000:]
@@ -137,6 +138,8 @@ def test_query_cli_fuzzy(spark, small_index):  # noqa: F811
     want = topk_fuzzy(spark, idx, "locorcar", k=5, max_edits=2).collect()
     assert [h["doc_id"] for h in hits] == [r2["doc_id"] for r2 in want]
     assert hits  # the typo'd probe really matched via expansion
+    # snippets tag the EXPANDED terms (the raw pattern is not a term)
+    assert all("<em>" in h["snippet"] for h in hits)
 
 
 def test_cli_fuzzy_syntax():
