@@ -108,6 +108,54 @@ def parse_not(q: str) -> tuple[str, str] | None:
     return " ".join(pos), " ".join(neg)
 
 
+def compile_query(spark, sess, q: str, budget: int = 64):
+    """Compile a Solr-style query string against a warm session —
+    tokens compose freely, the Lucene boolean/multi-term model:
+
+    - ``pre*`` / ``t?ble`` / ``term~N`` tokens expand against the
+      session's union dictionary (scoring keeps the ``budget``-term
+      top-terms rewrite per token)
+    - plain tokens go through the index ANALYZER (a stopword index
+      still drops its stopwords)
+    - ``-token`` prohibited clauses come back as an exclusion list;
+      an exclusion token may itself be a rewrite (``-zan*``) and
+      expands UNBOUNDED (constant-score rewrite — filters have no
+      top-terms notion)
+
+    Returns None for a plain query (no rewrites, no exclusions) so
+    callers keep the zero-extra-job analyzed-string path, else
+    ``(positive_terms, exclude_terms_or_None)``."""
+    toks = q.split()
+    pos = [t for t in toks if not t.startswith("-")]
+    neg = [t[1:] for t in toks if t.startswith("-") and len(t) > 1]
+    if not pos:
+        return None
+    if not neg and not any(classify_single(t) for t in toks):
+        return None
+    from solr_indexing_spark.textprep import ANALYZERS
+
+    tokenizer = ANALYZERS.get(
+        sess.man.get("analyzer", "default"), ANALYZERS["default"]
+    )[2]
+
+    def _expand(tokens, max_terms):
+        out = []
+        for t in tokens:
+            if classify_single(t) is None:
+                out.extend(tokenizer(t))
+            else:
+                out.extend(
+                    expand_batch_rewrites(
+                        spark, {0: t}, sess.dictionary, max_terms=max_terms
+                    )[0]
+                )
+        return sorted(set(out))
+
+    positive = _expand(pos, budget)
+    exclude = _expand(neg, (1 << 31) - 1) if neg else None
+    return positive, exclude or None
+
+
 def serve(spark, args) -> None:
     """stdin/stdout request loop over a warm session."""
     import os
@@ -238,28 +286,16 @@ def serve(spark, args) -> None:
                 print(json.dumps({"complete": prefix, "hits": hits}),
                       flush=True)
                 continue
-            kind = classify_single(req)
-            if kind is not None and kind[0] == "prefix":
-                # Solr multi-term rewrite: a single trailing-star token is
-                # a prefix query — expand against the session's union
-                # dictionary, score the OR expansion
-                result = sess.topk_prefix(kind[1], k=args.k)
-            elif kind is not None and kind[0] == "wildcard":
-                # Solr wildcard (`t?ble`, `ta*le`): regex expansion,
-                # same OR rewrite
-                result = sess.topk_wildcard(kind[1], k=args.k)
-            elif kind is not None and kind[0] == "fuzzy":
-                # Solr fuzzy (`term~N`): Levenshtein expansion against
-                # the union dictionary, same OR rewrite
-                result = sess.topk_fuzzy(
-                    kind[1][0], k=args.k, max_edits=kind[1][1]
-                )
-            elif (nq := parse_not(req)) is not None:
-                # Solr prohibited clauses (`foo -bar`): exclusion match
-                # set unioned into the dead set, stats corpus-global
-                result = sess.topk_not(nq[0], nq[1], k=args.k)
-            else:
+            # Solr query language: `pre*` / `t?ble` / `term~N` rewrites
+            # and `-token` prohibited clauses compose freely per line;
+            # plain lines keep the zero-extra-job analyzed path
+            cq = compile_query(spark, sess, req)
+            if cq is None:
                 result = sess.topk(req, k=args.k)
+            elif cq[1]:
+                result = sess.topk_not(cq[0], cq[1], k=args.k)
+            else:
+                result = sess.topk(cq[0], k=args.k)
             rows = (
                 result.join(docs, "doc_id")
                 .orderBy(F.desc("score"), F.asc("doc_id"))
@@ -578,35 +614,39 @@ def main() -> None:
     # paging; keep start page-sized, as with --sort)
     fetch_k = args.k + args.start
 
-    kind = (
-        classify_single(args.query)
-        if not args.phrase and args.mode == "bmw"
-        else None
-    )
-    notq = (
-        parse_not(args.query)
-        if kind is None and not args.phrase and args.mode == "bmw"
-        else None
+    qtoks = args.query.split()
+    needs_rewrite = (
+        not args.phrase
+        and args.mode == "bmw"
+        and (
+            any(classify_single(t) for t in qtoks)
+            or parse_not(args.query) is not None
+        )
     )
     hl_query = args.query  # what --snippets should tag (expanded terms
     # for rewrites, positive terms for prohibited clauses)
-    if kind is not None or notq is not None:
-        # Solr rewrites — `pre*` prefix, `t?ble` wildcard, `term~N`
-        # fuzzy (dictionary expansion → the expanded OR query) and
-        # `foo -bar` prohibited clauses (exclusion set unioned into the
-        # dead set); chains + fq compose via the session path
+    if needs_rewrite:
+        # Solr query language — `pre*` prefix, `t?ble` wildcard,
+        # `term~N` fuzzy and `-token` prohibited clauses, composing
+        # freely inside one query string (dictionary expansion → the
+        # expanded OR query; exclusions union into the dead set);
+        # chains + fq compose via the session path
         from solr_indexing_spark.indexing.incremental import SegmentsSession
 
         sources = seg_dirs if seg_dirs is not None else [args.index]
         sess = SegmentsSession(spark, sources, cache_dictionary=False)
-        if notq is not None:
-            hl_query = notq[0]
-            result = sess.topk_not(notq[0], notq[1], k=fetch_k, allow=allow)
+        cq = compile_query(spark, sess, args.query)
+        if cq is None:  # e.g. a pure-negative query — plain analyzed path
+            result = sess.topk(args.query, k=fetch_k, allow=allow)
         else:
-            hl_query = expand_batch_rewrites(
-                spark, {0: args.query}, sess.dictionary
-            )[0]
-            result = sess.topk(hl_query, k=fetch_k, allow=allow)
+            positive, exclude = cq
+            hl_query = positive
+            if exclude:
+                result = sess.topk_not(
+                    positive, exclude, k=fetch_k, allow=allow
+                )
+            else:
+                result = sess.topk(positive, k=fetch_k, allow=allow)
     elif args.phrase and seg_dirs is not None:
         from solr_indexing_spark.query.phrase import phrase_topk_segments
 

@@ -233,6 +233,79 @@ def test_query_cli_count_with_rewrite(spark, small_index):  # noqa: F811
     assert out[0]["numFound"] == want
 
 
+def test_compile_query_composes_tokens(spark, small_index):  # noqa: F811
+    """The Solr query language composes per token: plain terms analyze,
+    rewrite tokens expand, -tokens (themselves rewritable) exclude."""
+    from solr_indexing_spark.indexing.incremental import SegmentsSession
+    from solr_indexing_spark.query.bmw import expand_wildcard
+
+    from query import compile_query
+
+    idx, pdf = small_index
+    oracle = OracleIndex(pdf)
+    q, ex = _pick_overlapping_terms(oracle)
+    sess = SegmentsSession(spark, [idx], cache_dictionary=False)
+    try:
+        # plain queries stay on the analyzed-string path
+        assert compile_query(spark, sess, f"{q} {ex}") is None
+        assert compile_query(spark, sess, "-onlynegative") is None
+
+        wild_terms = expand_wildcard(spark, idx, "m?k*", max_terms=64)
+        pos, neg = compile_query(spark, sess, f"{q} m?k* -{ex}")
+        assert pos == sorted(set([q] + wild_terms))
+        assert neg == [ex]
+
+        # a rewrite exclusion expands UNBOUNDED (constant-score)
+        all_wild = expand_wildcard(spark, idx, "m?k*", max_terms=10_000)
+        pos2, neg2 = compile_query(spark, sess, f"{q} -m?k*")
+        assert pos2 == [q] and neg2 == sorted(set(all_wild))
+
+        # end-to-end: the composed query equals the hand-built
+        # topk_not over the same expansions
+        got = sess.topk_not(pos, neg, k=10).collect()
+        want = topk_not(spark, idx, pos, neg, k=10).collect()
+        assert [(r["doc_id"], r["score"]) for r in got] == [
+            (r["doc_id"], r["score"]) for r in want
+        ]
+        assert got  # non-trivial
+    finally:
+        sess.close()
+
+
+def test_query_cli_mixed_rewrites(spark, small_index):  # noqa: F811
+    """CLI one-shot with a composed query: plain + wildcard + exclusion
+    in one string matches the library compile path."""
+    import json as _json
+    import subprocess
+    import sys
+
+    from solr_indexing_spark.indexing.incremental import SegmentsSession
+
+    from query import compile_query
+
+    idx, pdf = small_index
+    oracle = OracleIndex(pdf)
+    q, ex = _pick_overlapping_terms(oracle)
+    line = f"{q} m?k* -{ex}"
+    r = subprocess.run(
+        [sys.executable, "query.py", "--index", idx,
+         "--query", line, "--k", "5", "--cores", "4"],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    hits = [_json.loads(l)
+            for l in r.stdout.replace("\r", "\n").splitlines()
+            if l.startswith("{")]
+    sess = SegmentsSession(spark, [idx], cache_dictionary=False)
+    try:
+        pos, neg = compile_query(spark, sess, line)
+        want = sess.topk_not(pos, neg, k=5).collect()
+    finally:
+        sess.close()
+    assert [h["doc_id"] for h in hits] == [r2["doc_id"] for r2 in want]
+    assert hits
+
+
 def test_cli_routing_helpers():
     from query import classify_single, parse_not
 
