@@ -191,6 +191,17 @@ def serve(spark, args) -> None:
         sess = SegmentsSession(spark, dirs)
 
     docs = _docs_of(dirs)
+    # full-column docs plan for per-request fq predicates — built lazily
+    # on the first `fq` request (most serve streams never pay it),
+    # invalidated with the generation like `docs`
+    fq_docs = None
+    cur_dirs = dirs
+
+    def _full_docs_of(ds):
+        full = read_docs(spark, ds[0])
+        for d in ds[1:]:
+            full = full.unionByName(read_docs(spark, d))
+        return full.persist()
 
     for line in sys.stdin:
         req = line.strip()
@@ -214,6 +225,10 @@ def serve(spark, args) -> None:
                     sess = job_sess.segments
                     docs.unpersist()
                     docs = _docs_of(job_sess.seg_dirs)
+                    if fq_docs is not None:
+                        fq_docs.unpersist()
+                        fq_docs = None
+                    cur_dirs = job_sess.seg_dirs
             if req.startswith("facet "):
                 _, col, q = req.split(" ", 2)
                 vals = [
@@ -286,16 +301,35 @@ def serve(spark, args) -> None:
                 print(json.dumps({"complete": prefix, "hits": hits}),
                       flush=True)
                 continue
+            # `fq <SQL predicate> :: <query line>` — Solr's per-request
+            # filter query: the predicate runs over the full docs table
+            # (lazily built + cached per generation), the query side
+            # keeps the full query language
+            allow_req = None
+            req_q = req
+            if req.startswith("fq "):
+                pred, sep, qline = req[len("fq "):].partition(" :: ")
+                qline = qline.strip()
+                if not sep or not qline or not pred.strip():
+                    raise ValueError("fq syntax: fq <predicate> :: <query>")
+                if fq_docs is None:
+                    fq_docs = _full_docs_of(cur_dirs)
+                allow_req = fq_docs.filter(
+                    F.expr(pred.strip())
+                ).select("doc_id")
+                req_q = qline
             # Solr query language: `pre*` / `t?ble` / `term~N` rewrites
             # and `-token` prohibited clauses compose freely per line;
             # plain lines keep the zero-extra-job analyzed path
-            cq = compile_query(spark, sess, req)
+            cq = compile_query(spark, sess, req_q)
             if cq is None:
-                result = sess.topk(req, k=args.k)
+                result = sess.topk(req_q, k=args.k, allow=allow_req)
             elif cq[1]:
-                result = sess.topk_not(cq[0], cq[1], k=args.k)
+                result = sess.topk_not(
+                    cq[0], cq[1], k=args.k, allow=allow_req
+                )
             else:
-                result = sess.topk(cq[0], k=args.k)
+                result = sess.topk(cq[0], k=args.k, allow=allow_req)
             rows = (
                 result.join(docs, "doc_id")
                 .orderBy(F.desc("score"), F.asc("doc_id"))

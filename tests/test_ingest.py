@@ -562,6 +562,7 @@ def test_query_cli_serve_loop(spark, tmp_path):
         "zq3 appears\ncomplete topic 4\nqqzzoov\n"
         "count zq3 appears\nfacet lang zq3 appears\n"
         "sort url:asc 0 zq3 appears\nmlt 0\n"
+        "fq url = 'S3' :: appears\nzq* appears\n"
     )
     r = subprocess.run(
         [sys.executable, "query.py", "--index", out, "--serve",
@@ -571,8 +572,10 @@ def test_query_cli_serve_loop(spark, tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     lines = [l for l in r.stdout.replace("\r", "\n").splitlines()
              if l.startswith("{")]
-    assert len(lines) == 7, r.stdout
-    q1, c1, q2, cnt, fac, srt, mlt = (_json.loads(l) for l in lines)
+    assert len(lines) == 9, r.stdout
+    q1, c1, q2, cnt, fac, srt, mlt, fq, rw = (
+        _json.loads(l) for l in lines
+    )
     assert q1["query"] == "zq3 appears" and len(q1["hits"]) >= 1
     assert q1["hits"][0]["url"] == "S3"
     assert c1["complete"] == "topic 4" and c1["hits"]
@@ -582,6 +585,11 @@ def test_query_cli_serve_loop(spark, tmp_path):
     assert fac["facet"] == "lang" and sum(c["n"] for c in fac["counts"]) >= 1
     assert srt["hits"] and srt["hits"][0]["url"] <= srt["hits"][-1]["url"]
     assert "error" not in mlt and mlt["mlt"] == 0
+    # per-request fq: every doc matches 'appears', the predicate keeps S3
+    assert [h["url"] for h in fq["hits"]] == ["S3"]
+    # composed rewrite line: zq* expands to every per-doc zqN salt → the
+    # OR set spans all docs; plain 'appears' rides along
+    assert len(rw["hits"]) == 5 and "error" not in rw
 
 
 def test_partial_after_compact_serves_new_docs(spark, tmp_path):
