@@ -585,26 +585,51 @@ def main() -> None:
             result = phrase_topk_batch(
                 spark, args.index, queries, k=args.k, allow=allow
             )
-        elif seg_dirs is not None:
+        elif seg_dirs is not None or any(
+            classify_single(t) is not None or t.startswith("-")
+            for q in queries.values()
+            for t in q.split()
+        ):
+            # chains, or any line using the query language: compile each
+            # line (per-token rewrites, analyzed plain tokens,
+            # exclusions). Rewrite-only lines still share the ONE
+            # batched job; lines with prohibited clauses need a
+            # per-query exclusion set the batched kernel doesn't model,
+            # so they run per line through topk_not and union in.
+            from pyspark.sql import functions as F
+
             from solr_indexing_spark.indexing.incremental import (
                 SegmentsSession,
             )
 
-            sess = SegmentsSession(spark, seg_dirs)
-            if any(classify_single(q) for q in queries.values()):
-                queries = expand_batch_rewrites(
-                    spark, queries, sess.dictionary
+            sources = seg_dirs if seg_dirs is not None else [args.index]
+            sess = SegmentsSession(spark, sources)
+            plain: dict = {}
+            notted: dict = {}
+            for i, q in queries.items():
+                cq = compile_query(spark, sess, q)
+                if cq is None:
+                    plain[i] = q
+                elif cq[1]:
+                    notted[i] = cq
+                else:
+                    plain[i] = cq[0]
+            queries = {**plain, **{i: cq[0] for i, cq in notted.items()}}
+            result = (
+                sess.topk_batch(plain, k=args.k, allow=allow)
+                if plain
+                else None
+            )
+            for i, (pos, neg) in notted.items():
+                r = sess.topk_not(pos, neg, k=args.k, allow=allow).select(
+                    F.lit(i).cast("long").alias("query_id"),
+                    "doc_id",
+                    "score",
                 )
-            result = sess.topk_batch(queries, k=args.k, allow=allow)
+                result = r if result is None else result.unionByName(r)
         else:
             from solr_indexing_spark.query.batch import topk_batch
 
-            if any(classify_single(q) for q in queries.values()):
-                queries = expand_batch_rewrites(
-                    spark,
-                    queries,
-                    spark.read.parquet(f"{args.index}/dictionary"),
-                )
             result = topk_batch(
                 spark, args.index, queries, k=args.k, allow=allow
             )

@@ -175,10 +175,20 @@ def test_query_cli_batch_rewrites(spark, small_index, tmp_path):  # noqa: F811
     import subprocess
     import sys
 
-    from solr_indexing_spark.query.bmw import topk_fuzzy, topk_wildcard
+    from solr_indexing_spark.query.bmw import (
+        expand_wildcard,
+        topk_fuzzy,
+        topk_wildcard,
+    )
 
     idx, pdf = small_index
-    lines = ["locorcor", "m?k*", "locorcar~2", "zzzznope*"]
+    oracle = OracleIndex(pdf)
+    q, ex = _pick_overlapping_terms(oracle)
+    lines = [
+        "locorcor", "m?k*", "locorcar~2", "zzzznope*",
+        f"{q} -{ex}",            # prohibited clause inside a batch line
+        f"{q} m?k*",             # multi-token line with a rewrite token
+    ]
     qfile = tmp_path / "queries.txt"
     qfile.write_text("".join(ln + "\n" for ln in lines))
     r = subprocess.run(
@@ -205,6 +215,13 @@ def test_query_cli_batch_rewrites(spark, small_index, tmp_path):  # noqa: F811
         for r2 in topk_fuzzy(spark, idx, "locorcar", k=5, max_edits=2).collect()
     ]
     assert by_q["zzzznope*"] == []
+    assert by_q[f"{q} -{ex}"] == [
+        r2["doc_id"] for r2 in topk_not(spark, idx, q, ex, k=5).collect()
+    ]
+    mixed = sorted(set([q] + expand_wildcard(spark, idx, "m?k*")))
+    assert by_q[f"{q} m?k*"] == [
+        r2["doc_id"] for r2 in _topk(spark, idx, mixed, k=5).collect()
+    ]
 
 
 def test_query_cli_count_with_rewrite(spark, small_index):  # noqa: F811
