@@ -506,6 +506,50 @@ def _ft_prefix_search(spark, sf_dir):
     )
 
 
+def _ft_match_analytics(spark, sf_dir):
+    """Match-set analytics through the built index (query/group.py), all
+    EXACT over FT_QUERY's OR match set: Solr field collapse (top-3 group
+    heads by BM25 — the full-match scorer, no over-fetch window),
+    stats.field(doclen), facet.range(doclen, gap=20). Oracle recomputes
+    every row from the token stream (reference context: the Solr serving
+    side collapses/sorts on the fields solrIndexCreation.ts builds)."""
+    from solr_indexing_spark.query.group import (
+        collapse_topk,
+        field_stats,
+        range_facets,
+    )
+
+    idx = _index_dir(spark, sf_dir)
+    col = collapse_topk(spark, idx, FT_QUERY, field="lang", k=3).select(
+        F.lit("collapse").alias("kind"),
+        F.coalesce(F.col("lang"), F.lit("NULL")).alias("key"),
+        "doc_id",
+        F.round("score", 4).alias("value"),
+    )
+    st = (
+        field_stats(spark, idx, FT_QUERY, "doclen")
+        .select(
+            F.expr(
+                "stack(5, 'count', cast(count as double), 'min', min, "
+                "'max', max, 'sum', sum, 'avg', avg) as (key, value)"
+            )
+        )
+        .select(
+            F.lit("stats").alias("kind"),
+            "key",
+            F.lit(0).cast("long").alias("doc_id"),
+            F.round("value", 4).alias("value"),
+        )
+    )
+    rng = range_facets(spark, idx, FT_QUERY, "doclen", 0.0, 20.0).select(
+        F.lit("range").alias("kind"),
+        F.col("bucket").cast("long").cast("string").alias("key"),
+        F.lit(0).cast("long").alias("doc_id"),
+        F.col("n").cast("double").alias("value"),
+    )
+    return col.unionByName(st).unionByName(rng)
+
+
 def _ft_suggest_complete(spark, sf_dir):
     """Weighted prefix completion over a Suggest-style table built from
     documents metadata (source weight 20, lang weight 8)."""
@@ -1971,6 +2015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bm25_multi": _ft_bm25_multi,
         "ft_bm25_bmw": _ft_bm25_bmw,
         "ft_prefix_search": _ft_prefix_search,
+        "ft_match_analytics": _ft_match_analytics,
         "ft_suggest_complete": _ft_suggest_complete,
         "ft_phrase": _ft_phrase,
         # text analysis
@@ -2375,6 +2420,48 @@ w as (select tf.doc_id,
 select doc_id, round(sum(w), 4) as score
 from w group by doc_id
 order by sum(w) desc, doc_id asc limit 10
+""",
+        # match-set analytics: collapse (top-3 group heads by BM25,
+        # exact over the FULL match set), stats.field(doclen),
+        # facet.range(doclen, gap 20) — mirrors query/group.py
+        "ft_match_analytics": f"""
+with toks as ({_TOKS}),
+dl as (select doc_id, count(*) as doclen from toks group by doc_id),
+stats as (select count(*) as n, avg(doclen) as avgdl from dl),
+q(term) as (values {boost_vals}),
+tf as (select t.term, t.doc_id, count(*) as tf
+       from toks t join q using(term) group by 1, 2),
+df as (select term, count(*) as df from tf group by 1),
+w as (select tf.doc_id,
+             ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * 2.2
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.doclen / s.avgdl)) as w
+      from tf join df using(term) join dl using(doc_id) cross join stats s),
+scores as (select doc_id, sum(w) as score from w group by doc_id),
+mvals as (select s.doc_id, s.score, d.lang, dl.doclen
+          from scores s join documents d using(doc_id)
+          join dl using(doc_id))
+select kind, key, doc_id, value from (
+  select 'collapse' as kind, coalesce(lang, 'NULL') as key, doc_id,
+         round(score, 4) as value
+  from (select *, row_number() over (partition by lang
+              order by score desc, doc_id asc) as rn from mvals)
+  where rn = 1 order by score desc, doc_id asc limit 3)
+union all
+select 'stats' as kind, k2 as key, 0 as doc_id, round(v2, 4) as value
+from (select unnest(['count', 'min', 'max', 'sum', 'avg']) as k2,
+             unnest([cast(count(*) as double),
+                     cast(min(doclen) as double),
+                     cast(max(doclen) as double),
+                     cast(sum(doclen) as double),
+                     avg(doclen)]) as v2
+      from mvals)
+union all
+select 'range' as kind,
+       cast(cast(greatest(floor(doclen / 20.0), 0) * 20 as bigint)
+            as varchar) as key,
+       0 as doc_id, cast(count(*) as double) as value
+from mvals group by 2
 """,
         "ft_suggest_complete": """
 with comp as (

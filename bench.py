@@ -303,6 +303,16 @@ def main() -> None:
         ).collect(),
     )
 
+    from solr_indexing_spark.query.group import collapse_topk
+
+    # Solr field collapse: exact full-match scorer → best head per group
+    timed(
+        "q_collapse",
+        lambda: collapse_topk(
+            spark, idx, "spark query data", field="lang", k=10
+        ).collect(),
+    )
+
     from solr_indexing_spark.query.completion import complete
 
     comp = docs.select(

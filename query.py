@@ -389,6 +389,11 @@ def main() -> None:
     ap.add_argument("--mlt", type=int, default=None, metavar="DOC_ID",
                     help="More-Like-This: top-k docs similar to DOC_ID "
                          "(no --query; query/mlt.py)")
+    ap.add_argument("--collapse", default=None, metavar="FIELD",
+                    help="Solr field collapse: return the top-k GROUP "
+                         "HEADS (best doc per distinct FIELD value) of "
+                         "the match set, ranked by BM25 — exact, "
+                         "full-match scorer (query/group.py)")
     ap.add_argument("--mode", choices=["bmw", "brute"], default="bmw")
     ap.add_argument("--analyzer", choices=["default", "stopword"],
                     default=None,
@@ -403,14 +408,16 @@ def main() -> None:
         ap.error(
             "exactly one of --query / --serve / --batch / --mlt is required"
         )
-    if (args.sort or args.facet or args.count) and not args.query:
-        ap.error("--sort/--facet/--count need --query")
-    if (args.sort or args.facet or args.count or args.mlt is not None) and (
-        args.phrase or args.snippets or args.mode != "bmw"
-    ):
+    if (args.sort or args.facet or args.count or args.collapse) \
+            and not args.query:
+        ap.error("--sort/--facet/--count/--collapse need --query")
+    if (
+        args.sort or args.facet or args.count or args.collapse
+        or args.mlt is not None
+    ) and (args.phrase or args.snippets or args.mode != "bmw"):
         ap.error(
-            "--sort/--facet/--count/--mlt run the match-set/BMW path "
-            "(no --phrase/--snippets/--mode brute)"
+            "--sort/--facet/--count/--collapse/--mlt run the "
+            "match-set/BMW path (no --phrase/--snippets/--mode brute)"
         )
     if args.start and not (args.sort or args.query):
         ap.error("--start needs --sort or --query")
@@ -484,7 +491,10 @@ def main() -> None:
             )
         allow = fq_docs.filter(F.expr(args.filter_expr)).select("doc_id")
 
-    if args.mlt is not None or args.facet or args.count or args.sort:
+    if (
+        args.mlt is not None or args.facet or args.count or args.sort
+        or args.collapse
+    ):
         # match-set serving surface (facets / numFound / sort= / MLT):
         # one-shot over the segment or the job's live chain, via the same
         # SegmentsSession code path a warm server uses
@@ -525,6 +535,31 @@ def main() -> None:
                 urls = urls.unionByName(
                     read_docs(spark, d).select("doc_id", "url")
                 )
+            if args.collapse:
+                # collapse SCORES (BM25 group heads) — rewrites keep the
+                # top-terms scoring budget, unlike the constant-score
+                # count/facet/sort expansions above
+                cqm = args.query
+                if classify_single(cqm) is not None:
+                    cqm = expand_batch_rewrites(
+                        spark, {0: cqm}, sess.dictionary
+                    )[0]
+                rows = (
+                    sess.collapse(
+                        cqm, field=args.collapse, k=args.k, allow=allow
+                    )
+                    # drop is a no-op unless collapsing BY url itself
+                    .join(urls.drop(args.collapse), "doc_id")
+                    .orderBy(F.desc("score"), F.asc("doc_id"))
+                    .collect()
+                )
+                for r in rows:
+                    print(json.dumps({
+                        "doc_id": r["doc_id"],
+                        args.collapse: r[args.collapse],
+                        "score": r["score"], "url": r["url"],
+                    }))
+                return
             if args.mlt is not None:
                 rows = (
                     sess.mlt(args.mlt, k=args.k)

@@ -531,6 +531,42 @@ class SegmentsSession:
             allow=make_allow(self.spark, allow),
         )
 
+    def score_matches(self, query, allow=None) -> DataFrame:
+        """(doc_id, score) for EVERY live doc matching the query over
+        the chain — the exact substrate for collapse/grouping (union
+        postings + dictionary, session dead set, term-meta cache)."""
+        from ..query.bmw import make_allow
+        from ..query.group import _score_matches_impl
+
+        scored = _score_matches_impl(
+            self.spark, self.man, self.dictionary, self.postings, query,
+            dead=self.dead, meta_cache=self._term_meta,
+        )
+        if allow is not None:
+            allow = make_allow(self.spark, allow)
+            if isinstance(allow, frozenset):
+                allow = self.spark.createDataFrame(
+                    [(int(d),) for d in sorted(allow)], "doc_id long"
+                )
+            else:
+                allow = allow.df
+            scored = scored.join(
+                allow.select("doc_id").distinct(), "doc_id", "left_semi"
+            )
+        return scored
+
+    def collapse(
+        self, query, field: str = "lang", k: int = 10, allow=None
+    ) -> DataFrame:
+        """Solr field collapse over the chain: top-k group heads of the
+        match set by BM25 — exact (full-match scorer, no over-fetch)."""
+        from ..query.group import _collapse_heads
+
+        scored = self.score_matches(query, allow=allow)
+        return _collapse_heads(
+            scored, self._docs_meta([field]), field, k
+        )
+
     def mlt(
         self,
         doc_id: int,
