@@ -244,6 +244,26 @@ def serve(spark, args) -> None:
                 print(json.dumps({"query": q, "numFound": sess.count(q)}),
                       flush=True)
                 continue
+            if req.startswith("collapse "):
+                # collapse <field> <query terms...> — Solr field
+                # collapse: top-k group heads by BM25, exact
+                _, col, q = req.split(" ", 2)
+                rows = (
+                    sess.collapse(q, field=col, k=args.k)
+                    # drop is a no-op unless collapsing BY url itself
+                    .join(docs.drop(col), "doc_id")
+                    .orderBy(F.desc("score"), F.asc("doc_id"))
+                    .collect()
+                )
+                hits = [
+                    {"doc_id": r["doc_id"], col: r[col],
+                     "score": r["score"], "url": r["url"]}
+                    for r in rows
+                ]
+                print(json.dumps(
+                    {"collapse": col, "query": q, "hits": hits}),
+                    flush=True)
+                continue
             if req.startswith("mlt "):
                 did = int(req[len("mlt "):])
                 rows = (

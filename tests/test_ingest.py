@@ -563,6 +563,7 @@ def test_query_cli_serve_loop(spark, tmp_path):
         "count zq3 appears\nfacet lang zq3 appears\n"
         "sort url:asc 0 zq3 appears\nmlt 0\n"
         "fq url = 'S3' :: appears\nzq* appears\n"
+        "collapse url appears\n"
     )
     r = subprocess.run(
         [sys.executable, "query.py", "--index", out, "--serve",
@@ -572,8 +573,8 @@ def test_query_cli_serve_loop(spark, tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     lines = [l for l in r.stdout.replace("\r", "\n").splitlines()
              if l.startswith("{")]
-    assert len(lines) == 9, r.stdout
-    q1, c1, q2, cnt, fac, srt, mlt, fq, rw = (
+    assert len(lines) == 10, r.stdout
+    q1, c1, q2, cnt, fac, srt, mlt, fq, rw, col = (
         _json.loads(l) for l in lines
     )
     assert q1["query"] == "zq3 appears" and len(q1["hits"]) >= 1
@@ -590,6 +591,12 @@ def test_query_cli_serve_loop(spark, tmp_path):
     # composed rewrite line: zq* expands to every per-doc zqN salt → the
     # OR set spans all docs; plain 'appears' rides along
     assert len(rw["hits"]) == 5 and "error" not in rw
+    # collapse by url: every doc its own group → k best docs, one group
+    # value each, score-ordered
+    assert col["collapse"] == "url" and col["hits"]
+    assert len({h["url"] for h in col["hits"]}) == len(col["hits"])
+    scores = [h["score"] for h in col["hits"]]
+    assert scores == sorted(scores, reverse=True)
 
 
 def test_partial_after_compact_serves_new_docs(spark, tmp_path):
